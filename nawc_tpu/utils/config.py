@@ -1,0 +1,139 @@
+"""Configuration dataclasses for the whole framework.
+
+The reference hard-codes its hyperparameters as module globals (semantic embed
+constants at ``watermark_research/src/watermark_testing.py:292-296,467-484``;
+PGD config blocks at ``pgd_research/src/misc/attack_test.py:10-19``).  Here every
+knob lives in a frozen dataclass so configs are hashable -> usable as jit static
+arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StftConfig:
+    """Framed STFT/iSTFT parameters (centered, Hann-windowed)."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    win: int = 1024
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    """Mel filterbank parameters (Slaney-style, area-normalized)."""
+
+    sample_rate: int = 24_000
+    n_fft: int = 1024
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """SNAC-style codec (conv encoder -> multi-scale RVQ -> conv decoder).
+
+    Mirrors the structure the reference exercises on the pip ``snac`` package:
+    latent dim 768 with an 8-dim codebook projection
+    (``watermark_research/src/misc/design_pca_watermark.py:53-59``,
+    ``watermark_testing.py:256-260,587-588``), 4096-entry codebooks, a list of
+    per-level code tensors (``run_snac_layer_ablation.py:115-123``), and inputs
+    padded to a multiple of 4096 samples (``watermark_testing.py:301-303``).
+    """
+
+    sample_rate: int = 24_000
+    encoder_dim: int = 48
+    encoder_rates: Tuple[int, ...] = (2, 4, 8, 8)
+    latent_dim: int = 768
+    decoder_dim: int = 768
+    decoder_rates: Tuple[int, ...] = (8, 8, 4, 2)
+    codebook_size: int = 4096
+    codebook_dim: int = 8
+    vq_strides: Tuple[int, ...] = (4, 2, 1)
+    noise_decoder: bool = True
+
+    @property
+    def hop(self) -> int:
+        """Samples per latent frame (product of encoder strides)."""
+        h = 1
+        for r in self.encoder_rates:
+            h *= r
+        return h
+
+    @property
+    def chunk(self) -> int:
+        """Pad-to multiple in samples.
+
+        ``hop * max(vq_strides)`` is the true alignment requirement; the
+        reference conservatively pads to 4096 (``watermark_testing.py:301-303``)
+        which we keep as a floor for artifact parity.
+        """
+        return max(4096, self.hop * max(self.vq_strides))
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.vq_strides)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpreadSpectrumConfig:
+    """Designed (training-free) spread-spectrum watermark.
+
+    Capability analogue of the AudioSeal wrapper API: 16-bit payload, additive
+    watermark, presence prob + bits out (``watermark_testing.py:83-111``).
+    """
+
+    sample_rate: int = 16_000
+    n_bits: int = 16
+    n_fft: int = 1024
+    hop: int = 256
+    band_lo_hz: float = 400.0
+    band_hi_hz: float = 6_000.0
+    alpha: float = 0.06  # embedding strength relative to band magnitude
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuralWMConfig:
+    """Trainable AudioSeal-style additive generator + frame-wise detector.
+
+    Detector output layout matches the reference's usage: per-frame logits of
+    shape (B, 2 + n_bits, T); presence = mean of class-1 prob
+    (``pgd_research/src/misc/attack_test.py:85-95``).
+    """
+
+    sample_rate: int = 16_000
+    n_bits: int = 16
+    dim: int = 32
+    strides: Tuple[int, ...] = (2, 4, 5, 8)
+    bottleneck_dim: int = 128
+    alpha: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SemanticWMConfig:
+    """Semantic manifold watermark hyperparameters.
+
+    Parity constants from the reference: 150 Adam steps at lr 5e-3, static
+    eps 5e-3 (PCA variant) or dynamic eps from a 42 dB target SDR
+    (cluster/random variants), hinge target scores -/+1.5, silence threshold
+    0.02, pad-to-4096 (``watermark_testing.py:292-296,467-484,609-625``).
+    """
+
+    steps: int = 150
+    lr: float = 5e-3
+    eps: float = 5e-3
+    dynamic_eps: bool = False
+    target_sdr_db: float = 42.0
+    eps_min: float = 1e-4
+    eps_max: float = 0.1
+    target_score: float = 1.5
+    silence_threshold: float = 0.02
+    detect_threshold: float = 0.85

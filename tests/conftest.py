@@ -1,0 +1,31 @@
+"""Test configuration: force CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (the driver's
+dryrun uses the same mechanism)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tone_24k():
+    """1 s, 24 kHz mono test tone (sum of harmonics with an envelope)."""
+    sr = 24_000
+    t = np.arange(sr) / sr
+    x = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.25 * np.sin(2 * np.pi * 440 * t)
+        + 0.125 * np.sin(2 * np.pi * 1760 * t)
+    ) * (0.5 + 0.5 * np.sin(2 * np.pi * 2.0 * t))
+    return x.astype(np.float32), sr
