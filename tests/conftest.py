@@ -1,16 +1,27 @@
 """Test configuration: force CPU backend with 8 virtual devices so the
 multi-chip sharding paths are exercised without TPU hardware (the driver's
-dryrun uses the same mechanism)."""
+dryrun uses the same mechanism).
+
+Note: the axon TPU shim registers its PJRT backend at interpreter start
+(sitecustomize), so env vars alone don't stick — we must also flip
+``jax_platforms`` via jax.config after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8
 
 
 @pytest.fixture(scope="session")

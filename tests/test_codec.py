@@ -1,0 +1,126 @@
+"""Codec tests: shapes, code levels, RVQ exactness, ablation masks, Pallas
+kernel vs reference lookup (SURVEY.md §4 plan; BASELINE config #2 shape)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nawc_tpu.codec import make_codec
+from nawc_tpu.ops import nearest_codebook, nearest_codebook_reference
+from nawc_tpu.ops.rvq import _nearest_codebook_pallas
+from nawc_tpu.utils.config import CodecConfig
+
+# small codec for CPU tests
+CFG = CodecConfig(
+    encoder_dim=8, encoder_rates=(2, 4, 8, 8), latent_dim=64,
+    decoder_dim=64, decoder_rates=(8, 8, 4, 2),
+    codebook_size=128, codebook_dim=8, vq_strides=(4, 2, 1),
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return make_codec(jax.random.PRNGKey(0), CFG, example_len=CFG.chunk)
+
+
+def test_config_geometry():
+    assert CFG.hop == 512
+    assert CFG.chunk == 4096
+    assert CFG.num_levels == 3
+
+
+def test_encode_decode_shapes(codec):
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4096)).astype(np.float32) * 0.1)
+    codes = codec.encode(wav)
+    assert len(codes) == 3
+    t_lat = 4096 // CFG.hop  # 8
+    assert codes[0].shape == (2, t_lat // 4)
+    assert codes[1].shape == (2, t_lat // 2)
+    assert codes[2].shape == (2, t_lat)
+    assert all(c.dtype == jnp.int32 for c in codes)
+    assert all(int(c.max()) < CFG.codebook_size and int(c.min()) >= 0 for c in codes)
+    out = codec.decode(codes)
+    assert out.shape == wav.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_latent_shapes_and_projection(codec):
+    wav = jnp.zeros((1, 4096))
+    z = codec.encode_latent(wav)
+    assert z.shape == (1, 8, CFG.latent_dim)
+    pz = codec.project_latent(z)
+    assert pz.shape == (1, 8, CFG.codebook_dim)
+    cb = codec.projected_codebook
+    assert cb.shape == (CFG.codebook_size, CFG.codebook_dim)
+    y = codec.decode_latent(z)
+    assert y.shape == (1, 4096)
+
+
+def test_roundtrip_matches_encode_decode(codec):
+    """STE forward recon must equal decode(encode(wav)) (same codes path)."""
+    wav = jnp.asarray(np.random.default_rng(1).normal(size=(1, 4096)).astype(np.float32) * 0.1)
+    out = codec.forward(wav)
+    codes = codec.encode(wav)
+    for a, b in zip(out["codes"], codes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    recon2 = codec.decode(codes)
+    # STE path computes out_proj(z_e + sg(z_q - z_e)) vs decode's
+    # out_proj(z_q): numerically equal up to float re-association.
+    np.testing.assert_allclose(np.asarray(out["recon"]), np.asarray(recon2), atol=5e-4)
+
+
+def test_level_ablation_mask(codec):
+    wav = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4096)).astype(np.float32) * 0.1)
+    codes = codec.encode(wav)
+    full = codec.decode(codes, level_mask=jnp.ones(3))
+    none = codec.decode(codes, level_mask=jnp.zeros(3))
+    ref = codec.decode(codes)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(ref), atol=1e-5)
+    assert not np.allclose(np.asarray(none), np.asarray(ref))
+
+
+def test_vq_losses_finite(codec):
+    wav = jnp.asarray(np.random.default_rng(3).normal(size=(1, 4096)).astype(np.float32) * 0.1)
+    out = codec.forward(wav)
+    assert np.isfinite(float(out["commit_loss"]))
+    assert np.isfinite(float(out["codebook_loss"]))
+
+
+def test_grad_flows_through_ste(codec):
+    """Semantic embed requires d(latent proj)/d(wav); STE must pass grads."""
+    wav = jnp.asarray(np.random.default_rng(4).normal(size=(1, 4096)).astype(np.float32) * 0.1)
+
+    def loss(w):
+        return jnp.mean(codec.model.apply(codec.params, w)["recon"] ** 2)
+
+    g = jax.grad(loss)(wav)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_nearest_codebook_reference_exact():
+    rng = np.random.default_rng(0)
+    cb = rng.normal(size=(64, 8)).astype(np.float32)
+    # queries exactly at codebook rows (scaled: cosine metric ignores scale)
+    idx = np.array([3, 10, 63, 0])
+    z = cb[idx] * 2.5
+    got = np.asarray(nearest_codebook_reference(jnp.asarray(z), jnp.asarray(cb)))
+    np.testing.assert_array_equal(got, idx)
+
+
+def test_pallas_kernel_matches_reference_interpret():
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(300, 8)).astype(np.float32)
+    cb = rng.normal(size=(256, 8)).astype(np.float32)
+    ref = np.asarray(nearest_codebook_reference(jnp.asarray(z), jnp.asarray(cb)))
+    got = np.asarray(_nearest_codebook_pallas(jnp.asarray(z), jnp.asarray(cb), interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_nearest_codebook_leading_shapes():
+    rng = np.random.default_rng(2)
+    z = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    cb = rng.normal(size=(32, 8)).astype(np.float32)
+    out = nearest_codebook(jnp.asarray(z), jnp.asarray(cb), use_pallas=False)
+    assert out.shape == (2, 5)
