@@ -30,6 +30,30 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def librispeech_16k():
+    """(8, 32000) real speech @16 kHz from the reference dataset dir."""
+    import glob
+    import jax.numpy as jnp
+    from nawc_tpu.utils import audio_io
+    from nawc_tpu.dsp import resample
+
+    files = sorted(glob.glob("/root/reference/dataset/LibriSpeech/*.wav"))[:8]
+    if len(files) < 8:
+        pytest.skip("LibriSpeech sample data unavailable")
+    wavs = []
+    for f in files:
+        a, sr = audio_io.read_wav(f)
+        x = jnp.asarray(a.mean(axis=0))
+        if sr != 16_000:
+            x = resample(x, sr, 16_000)
+        x = np.asarray(x)[:32_000]
+        if len(x) < 32_000:
+            x = np.pad(x, (0, 32_000 - len(x)))
+        wavs.append(x)
+    return jnp.asarray(np.stack(wavs).astype(np.float32))
+
+
+@pytest.fixture(scope="session")
 def tone_24k():
     """1 s, 24 kHz mono test tone (sum of harmonics with an envelope)."""
     sr = 24_000
