@@ -1,0 +1,7 @@
+from .mesh import make_mesh, data_sharding, replicate_sharding, shard_batch
+from .tp import tp_nearest_codebook
+
+__all__ = [
+    "make_mesh", "data_sharding", "replicate_sharding", "shard_batch",
+    "tp_nearest_codebook",
+]

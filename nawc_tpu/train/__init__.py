@@ -1,0 +1,12 @@
+from .codec_train import (
+    CodecTrainState,
+    codec_loss,
+    init_codec_train,
+    make_codec_train_step,
+    speech_batches,
+)
+
+__all__ = [
+    "CodecTrainState", "codec_loss", "init_codec_train",
+    "make_codec_train_step", "speech_batches",
+]

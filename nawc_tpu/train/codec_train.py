@@ -1,0 +1,147 @@
+"""Codec training: reconstruction + multi-scale mel + VQ losses, data-parallel
+over the ("data", "model") mesh.
+
+The reference has NO training loop at all (all models pretrained from pip,
+SURVEY.md §0); the TPU framework must train its own codec, so this module is
+new capability.  Standard neural-codec recipe (L1 waveform + multi-scale
+log-mel L1 + commitment/codebook losses), adamw, one jitted pjit step with
+the batch sharded on "data" and params replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..codec.model import SnacCodec
+from ..dsp.mel import mel_spectrogram
+from ..parallel.mesh import data_sharding, replicate_sharding
+from ..utils.config import CodecConfig, MelConfig, StftConfig
+
+MEL_SCALES = (
+    (StftConfig(512, 128, 512), MelConfig(n_fft=512, n_mels=40)),
+    (StftConfig(1024, 256, 1024), MelConfig(n_fft=1024, n_mels=80)),
+    (StftConfig(2048, 512, 2048), MelConfig(n_fft=2048, n_mels=120)),
+)
+
+
+@dataclasses.dataclass
+class CodecTrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
+    """wav (B, T) at cfg.sample_rate -> (scalar loss, metrics dict)."""
+    out = SnacCodec(cfg).apply(params, wav)
+    recon = out["recon"]
+    l1 = jnp.mean(jnp.abs(recon - wav))
+    mel_l = 0.0
+    for stft_cfg, mel_cfg in MEL_SCALES:
+        mc = dataclasses.replace(mel_cfg, sample_rate=cfg.sample_rate)
+        m_ref = mel_spectrogram(wav, stft_cfg, mc, log=True)
+        m_rec = mel_spectrogram(recon, stft_cfg, mc, log=True)
+        mel_l = mel_l + jnp.mean(jnp.abs(m_ref - m_rec))
+    mel_l = mel_l / len(MEL_SCALES)
+    loss = 10.0 * l1 + mel_l + 0.25 * out["commit_loss"] + 1.0 * out["codebook_loss"]
+    # SI-SNR metric (not a loss term)
+    ref = wav - wav.mean(axis=-1, keepdims=True)
+    est = recon - recon.mean(axis=-1, keepdims=True)
+    dot = jnp.sum(ref * est, -1, keepdims=True)
+    proj = dot / (jnp.sum(ref * ref, -1, keepdims=True) + 1e-8) * ref
+    sisnr = 10 * jnp.log10(
+        (jnp.sum(proj**2, -1) + 1e-8) / (jnp.sum((est - proj) ** 2, -1) + 1e-8)
+    ).mean()
+    metrics = {
+        "loss": loss, "l1": l1, "mel": mel_l,
+        "commit": out["commit_loss"], "codebook": out["codebook_loss"],
+        "si_snr": sisnr,
+    }
+    return loss, metrics
+
+
+def make_optimizer(lr: float = 3e-4, warmup: int = 500, total: int = 100_000):
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, total, lr * 0.05)
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=1e-4))
+
+
+def init_codec_train(
+    key: jax.Array, cfg: CodecConfig, tx=None, example_len: int | None = None
+) -> tuple[CodecTrainState, Any]:
+    tx = tx or make_optimizer()
+    wav = jnp.zeros((1, example_len or cfg.chunk), jnp.float32)
+    params = SnacCodec(cfg).init(key, wav)
+    opt_state = tx.init(params)
+    return CodecTrainState(params, opt_state, 0), tx
+
+
+def make_codec_train_step(cfg: CodecConfig, tx, mesh=None):
+    """Returns jitted step(params, opt_state, wav) -> (params, opt_state,
+    metrics); with a mesh, the batch is sharded over "data" and grads are
+    combined by jit's automatic partitioning (psum over ICI)."""
+
+    def step(params, opt_state, wav):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: codec_loss(cfg, p, wav), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    rep = replicate_sharding(mesh)
+    dat = data_sharding(mesh, 2)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, dat),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
+def speech_batches(
+    files: list[str],
+    batch: int,
+    seconds: float,
+    sample_rate: int,
+    seed: int = 0,
+    loop: bool = True,
+) -> Iterator[np.ndarray]:
+    """Host-side loader: random fixed-length crops of WAV files, resampled to
+    `sample_rate`, peak-normalized to 0.7.  Yields (batch, T) float32."""
+    from ..dsp.resample import resample as _resample
+    from ..utils import audio_io
+
+    rng = np.random.default_rng(seed)
+    t = int(seconds * sample_rate)
+    cache: dict[str, np.ndarray] = {}
+
+    def load(f: str) -> np.ndarray:
+        if f not in cache:
+            a, sr = audio_io.read_wav(f)
+            x = a.mean(axis=0)
+            if sr != sample_rate:
+                x = np.asarray(_resample(jnp.asarray(x), sr, sample_rate))
+            peak = np.abs(x).max() + 1e-9
+            cache[f] = (0.7 * x / peak).astype(np.float32)
+        return cache[f]
+
+    while True:
+        out = np.zeros((batch, t), np.float32)
+        for i in range(batch):
+            x = load(files[int(rng.integers(len(files)))])
+            if len(x) <= t:
+                out[i, : len(x)] = x
+            else:
+                o = int(rng.integers(len(x) - t))
+                out[i] = x[o : o + t]
+        yield out
+        if not loop:
+            return

@@ -1,0 +1,90 @@
+"""Semantic manifold watermarks: axis construction, batched Adam-PGD embed
+raises the projection score, eps constraint, detection separation
+(reference semantics at watermark_testing.py:227-677)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nawc_tpu.codec import make_codec
+from nawc_tpu.models import SemanticWM, pca_axis, kmeans_axis, random_axis
+from nawc_tpu.models.semantic import semantic_embed, semantic_score
+from nawc_tpu.utils.config import CodecConfig, SemanticWMConfig
+
+CFG = CodecConfig(
+    encoder_dim=8, latent_dim=64, decoder_dim=64,
+    codebook_size=128, codebook_dim=8,
+)
+# few steps for CPU test speed; full 150 steps is the production default
+FAST = SemanticWMConfig(steps=25, dynamic_eps=True, target_score=1.5)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return make_codec(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def wav(librispeech_16k):
+    from nawc_tpu.dsp import resample
+    # semantic WMs run at the codec rate (24 kHz); 2 clips for speed
+    x = resample(librispeech_16k[:2], 16_000, 24_000)
+    return x[:, : 2 * 4096]
+
+
+def test_axes_unit_norm(codec):
+    cb = codec.projected_codebook
+    for axis in (pca_axis(cb), kmeans_axis(cb), random_axis(cb.shape[1])):
+        assert axis.shape == (CFG.codebook_dim,)
+        np.testing.assert_allclose(float(jnp.linalg.norm(axis)), 1.0, rtol=1e-4)
+
+
+def test_pca_axis_is_leading_direction(codec):
+    cb = np.asarray(codec.projected_codebook)
+    axis = np.asarray(pca_axis(codec.projected_codebook))
+    centered = cb - cb.mean(0)
+    var_axis = ((centered @ axis) ** 2).mean()
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        v = rng.normal(size=axis.shape)
+        v /= np.linalg.norm(v)
+        assert var_axis >= ((centered @ v) ** 2).mean() - 1e-6
+
+
+def test_embed_raises_projection(codec, wav):
+    axis = kmeans_axis(codec.projected_codebook)
+    before = np.asarray(semantic_score(codec.cfg, codec.params, axis, wav))
+    marked = semantic_embed(codec.cfg, FAST, codec.params, axis, wav)
+    after = np.asarray(semantic_score(codec.cfg, codec.params, axis, marked))
+    assert (after > before + 1e-3).all(), (before, after)
+
+
+def test_embed_eps_constraint(codec, wav):
+    axis = random_axis(CFG.codebook_dim)
+    marked = semantic_embed(codec.cfg, FAST, codec.params, axis, wav)
+    delta = np.abs(np.asarray(marked - wav))
+    rms = np.sqrt(np.mean(np.asarray(wav) ** 2, axis=-1))
+    eps = np.clip(rms * 10 ** (-42.0 / 20.0) * 2.0, 1e-4, 0.1)
+    assert (delta.max(axis=-1) <= eps * 1.001).all()
+
+
+def test_embed_static_eps_and_silence_mask(codec, wav):
+    scfg = SemanticWMConfig(steps=10, eps=5e-3, dynamic_eps=False, target_score=1.5)
+    axis = random_axis(CFG.codebook_dim)
+    marked = semantic_embed(codec.cfg, scfg, codec.params, axis, wav)
+    delta = np.abs(np.asarray(marked - wav))
+    assert delta.max() <= 5e-3 * 1.001
+    # silence (|x| <= 0.02) stays untouched
+    silent = np.abs(np.asarray(wav)) <= 0.02
+    assert delta[silent].max() == 0.0
+
+
+def test_wrapper_detect_separation(codec, wav):
+    wm = SemanticWM(codec, "kmeans", cfg=FAST)
+    marked = wm.embed(wav)
+    p_marked, bits = wm.detect(marked)
+    p_clean, _ = wm.detect(wav)
+    assert bits.shape == (wav.shape[0], 0)
+    assert (np.asarray(p_marked) > np.asarray(p_clean)).all()
+    assert wm.name == "SemanticCluster"
