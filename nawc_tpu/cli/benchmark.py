@@ -1,0 +1,89 @@
+"""Survivability benchmark CLI (the reference's main entry,
+``watermark_testing.py --mode {benchmark,detector,both}``, ``:954-1021``).
+
+Usage:
+  python -m nawc_tpu.cli.benchmark --mode both \
+      --audio_glob '/root/reference/dataset/LibriSpeech/*.wav' \
+      --watermarks spread_spectrum chunked --filecount 16 --out_dir results/
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+
+def main(argv=None) -> None:
+    from .common import DEFAULT_AUDIO_GLOB, WM_CHOICES, build_watermarkers, load_audio_batch, load_codec
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=["benchmark", "detector", "both"], default="both")
+    ap.add_argument("--audio_glob", default=DEFAULT_AUDIO_GLOB)
+    ap.add_argument("--watermarks", nargs="+", default=["spread_spectrum"], choices=WM_CHOICES)
+    ap.add_argument("--filecount", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--sample_rate", type=int, default=16_000)
+    ap.add_argument("--attacks", nargs="*", default=None,
+                    help="attack names (default: full suite incl. codec roundtrip)")
+    ap.add_argument("--codec_ckpt", default="checkpoints/codec_24k.msgpack")
+    ap.add_argument("--codec_size", choices=["full", "small"], default="full")
+    ap.add_argument("--out_dir", default="results")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--artifacts", type=int, default=0, help="save N artifact triplets")
+    args = ap.parse_args(argv)
+
+    from ..attacks import build_suite
+    from ..eval import run_combined, run_detector_checker, run_survivability
+    from ..eval.reporting import plot_survival_bars, save_artifacts
+
+    needs_codec = any(w.startswith("semantic") for w in args.watermarks) or not args.attacks
+    codec = load_codec(args.codec_ckpt, args.codec_size) if needs_codec else None
+    # semantic watermarks run at the codec rate; others at --sample_rate
+    sr = args.sample_rate
+    wav = load_audio_batch(args.audio_glob, args.filecount, sr, args.seconds)
+    wms = build_watermarkers(args.watermarks, codec, sample_rate=None if sr == 16_000 else sr)
+
+    suite = build_suite(sr, codec)
+    if args.attacks:
+        suite = {k: suite[k] for k in args.attacks}
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.mode == "detector":
+        df = run_detector_checker(wms, wav, seed=args.seed)
+        df.to_csv(out / "detector_checker_results.csv", index=False)
+        print(df.groupby("watermark")["detector_works"].mean())
+    elif args.mode == "benchmark":
+        df = run_survivability(wms, suite, wav, seed=args.seed)
+        df.to_csv(out / "qwen_benchmark_results.csv", index=False)
+        plot_survival_bars(df, out / "survival_rates.png")
+        print(df[df.clip_index >= 0].groupby(["watermark", "attack"])["survived"].mean())
+    else:
+        rep = run_combined(wms, suite, wav, seed=args.seed)
+        rep.per_method.to_csv(out / "combined_results.csv", index=False)
+        rep.summary.to_csv(out / "threshold_summary.csv", index=False)
+        print(rep.summary.to_string(index=False))
+
+    if args.artifacts:
+        import numpy as np
+
+        from ..models.base import random_message
+
+        key = jax.random.PRNGKey(args.seed)
+        name, wm = next(iter(wms.items()))
+        attack = next(iter(suite.values()))
+        if getattr(wm, "n_bits", 0) > 0:
+            msg = random_message(key, wav.shape[0], wm.n_bits)
+            marked = wm.embed(wav, msg, key)
+        else:
+            marked = wm.embed(wav)
+        attacked = attack(marked, key)
+        for i in range(min(args.artifacts, wav.shape[0])):
+            save_artifacts(out / "artifacts", f"{name}_{i}", np.asarray(wav[i]),
+                           np.asarray(marked[i]), np.asarray(attacked[i]), sr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Shared CLI plumbing: audio loading, watermarker construction.
+
+Mirrors the reference CLI conventions (``--datasets --watermarks
+--filecount --audio_dir --out_csv``, ``watermark_testing.py:954-1021``) with
+batched loading instead of per-file loops."""
+
+from __future__ import annotations
+
+import glob as globlib
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_AUDIO_GLOB = "/root/reference/dataset/LibriSpeech/*.wav"
+
+
+def load_audio_batch(
+    audio_glob: str,
+    count: int,
+    sr: int,
+    seconds: float = 2.0,
+    offset: int = 0,
+) -> jnp.ndarray:
+    """Load `count` clips as one (count, seconds*sr) batch: mono, resampled,
+    truncated/padded (the reference's 5 s cap idiom, ``:903-907``)."""
+    from ..dsp.resample import resample
+    from ..utils import audio_io
+
+    files = sorted(globlib.glob(audio_glob))[offset : offset + count]
+    if not files:
+        raise SystemExit(f"no audio files match {audio_glob}")
+    t = int(seconds * sr)
+    out = []
+    for f in files:
+        a, fsr = audio_io.read_wav(f)
+        x = jnp.asarray(a.mean(axis=0))
+        if fsr != sr:
+            x = resample(x, fsr, sr)
+        x = np.asarray(x)[:t]
+        if len(x) < t:
+            x = np.pad(x, (0, t - len(x)))
+        out.append(x)
+    return jnp.asarray(np.stack(out).astype(np.float32))
+
+
+def load_codec(ckpt: str | None, size: str = "full"):
+    """Build a CodecState, restoring weights from `ckpt` when given."""
+    from ..codec import make_codec
+    from ..utils.checkpoint import load_params
+    from ..utils.config import CodecConfig
+
+    cfg = CodecConfig() if size == "full" else CodecConfig(
+        encoder_dim=8, latent_dim=64, decoder_dim=64, codebook_size=128, codebook_dim=8
+    )
+    codec = make_codec(jax.random.PRNGKey(0), cfg)
+    if ckpt and Path(ckpt).exists():
+        import dataclasses
+
+        params = load_params(ckpt, codec.params)
+        codec = dataclasses.replace(codec, params=params)
+    return codec
+
+
+WM_CHOICES = (
+    "spread_spectrum", "chunked", "psychoacoustic",
+    "semantic_pca", "semantic_cluster", "semantic_random",
+)
+
+
+def build_watermarkers(names: list[str], codec=None, sample_rate: int | None = None) -> dict[str, object]:
+    """Name -> watermarker instances; semantic ones need a codec."""
+    from ..models import SemanticWM, SpreadSpectrumWM, ChunkedWM, PsychoacousticWM
+    from ..utils.config import SpreadSpectrumConfig
+
+    out: dict[str, object] = {}
+    for n in names:
+        if n == "spread_spectrum":
+            cfg = SpreadSpectrumConfig(alpha=0.1) if sample_rate is None else SpreadSpectrumConfig(
+                sample_rate=sample_rate, band_hi_hz=min(0.45 * sample_rate, 9000.0), alpha=0.1
+            )
+            out[n] = SpreadSpectrumWM(cfg=cfg)
+        elif n == "chunked":
+            out[n] = ChunkedWM()
+        elif n == "psychoacoustic":
+            out[n] = PsychoacousticWM()
+        elif n.startswith("semantic_"):
+            if codec is None:
+                raise SystemExit(f"{n} requires --codec_ckpt / codec")
+            kind = {"semantic_pca": "pca", "semantic_cluster": "kmeans", "semantic_random": "random"}[n]
+            out[n] = SemanticWM(codec, kind)
+        else:
+            raise SystemExit(f"unknown watermark {n!r}; choices: {WM_CHOICES}")
+    return out

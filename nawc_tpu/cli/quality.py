@@ -1,0 +1,72 @@
+"""Audio-quality evaluation CLI (the reference's
+``audio_quality_check/evaluate_quality.py`` + ``make_pairs.py``).
+
+Two modes:
+  * --results_dir: walk artifact tree pairing 1_original/2_watermarked wavs
+  * --watermark: embed on the fly and evaluate
+
+Usage:
+  python -m nawc_tpu.cli.quality --watermark spread_spectrum --filecount 16
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def main(argv=None) -> None:
+    from .common import DEFAULT_AUDIO_GLOB, WM_CHOICES, build_watermarkers, load_audio_batch, load_codec
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--results_dir", default=None, help="artifact tree with wav pairs")
+    ap.add_argument("--watermark", default=None, choices=WM_CHOICES)
+    ap.add_argument("--audio_glob", default=DEFAULT_AUDIO_GLOB)
+    ap.add_argument("--filecount", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--sample_rate", type=int, default=16_000)
+    ap.add_argument("--codec_ckpt", default="checkpoints/codec_24k.msgpack")
+    ap.add_argument("--codec_size", choices=["full", "small"], default="full")
+    ap.add_argument("--out_csv", default="results/quality_results.csv")
+    args = ap.parse_args(argv)
+
+    from ..eval import evaluate_pair_batch, evaluate_pairs, make_pairs
+
+    Path(args.out_csv).parent.mkdir(parents=True, exist_ok=True)
+    if args.results_dir:
+        pairs = make_pairs(args.results_dir)
+        if not pairs:
+            raise SystemExit(f"no wav pairs under {args.results_dir}")
+        df = evaluate_pairs(pairs, sr=args.sample_rate)
+    elif args.watermark:
+        import pandas as pd
+
+        codec = load_codec(args.codec_ckpt, args.codec_size) if args.watermark.startswith("semantic") else None
+        wav = load_audio_batch(args.audio_glob, args.filecount, args.sample_rate, args.seconds)
+        wm = build_watermarkers([args.watermark], codec, sample_rate=None if args.sample_rate == 16_000 else args.sample_rate)[args.watermark]
+        key = jax.random.PRNGKey(0)
+        if getattr(wm, "n_bits", 0) > 0:
+            from ..models.base import random_message
+
+            msg = random_message(key, wav.shape[0], wm.n_bits)
+            marked = wm.embed(wav, msg, key)
+        else:
+            marked = wm.embed(wav)
+        cols = evaluate_pair_batch(wav, marked, args.sample_rate)
+        df = pd.DataFrame({"clean": [f"clip_{i}" for i in range(wav.shape[0])],
+                           "watermarked": [args.watermark] * wav.shape[0],
+                           "attack": "", "instrument": "speech",
+                           **{k: v for k, v in cols.items()}})
+    else:
+        raise SystemExit("need --results_dir or --watermark")
+
+    df.to_csv(args.out_csv, index=False)
+    num = df.select_dtypes(include=[np.number])
+    print(num.mean().to_string())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Train the SNAC-style codec.
+
+Usage:
+  python -m nawc_tpu.cli.train_codec --audio_glob '/root/reference/dataset/LibriSpeech/*.wav' \
+      --steps 20000 --batch 16 --seconds 1.3653 --out checkpoints/codec_24k.msgpack
+
+New capability vs the reference (which ships no training loop, SURVEY.md §0);
+CLI shape follows the reference's argparse-per-script convention
+(``watermark_testing.py:954-1021``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--audio_glob", default="/root/reference/dataset/LibriSpeech/*.wav")
+    ap.add_argument("--steps", type=int, default=20_000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=32_768 / 24_000)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="checkpoints/codec_24k.msgpack")
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--size", choices=["full", "small"], default="full")
+    args = ap.parse_args(argv)
+
+    from nawc_tpu.train import init_codec_train, make_codec_train_step, speech_batches
+    from nawc_tpu.train.codec_train import make_optimizer
+    from nawc_tpu.utils.checkpoint import load_params, save_params
+    from nawc_tpu.utils.config import CodecConfig
+
+    if args.size == "full":
+        cfg = CodecConfig()
+    else:
+        cfg = CodecConfig(encoder_dim=8, latent_dim=64, decoder_dim=64,
+                          codebook_size=128, codebook_dim=8)
+
+    files = sorted(glob.glob(args.audio_glob))
+    if not files:
+        raise SystemExit(f"no audio files match {args.audio_glob}")
+    print(f"[train_codec] {len(files)} files, cfg hop={cfg.hop} chunk={cfg.chunk}", flush=True)
+
+    tx = make_optimizer(lr=args.lr, total=args.steps)
+    state, _ = init_codec_train(jax.random.PRNGKey(args.seed), cfg, tx=tx, example_len=int(args.seconds * cfg.sample_rate) // cfg.chunk * cfg.chunk or cfg.chunk)
+    if args.resume:
+        state.params = load_params(args.resume, state.params)
+        print(f"[train_codec] resumed params from {args.resume}", flush=True)
+    step_fn = make_codec_train_step(cfg, tx)
+
+    t = int(args.seconds * cfg.sample_rate) // cfg.chunk * cfg.chunk or cfg.chunk
+    batches = speech_batches(files, args.batch, t / cfg.sample_rate, cfg.sample_rate, seed=args.seed)
+
+    params, opt_state = state.params, state.opt_state
+    out_path = Path(args.out)
+    t_start = time.time()
+    log_path = out_path.with_suffix(".log.jsonl")
+    log_path.parent.mkdir(parents=True, exist_ok=True)
+    for step in range(1, args.steps + 1):
+        wav = jnp.asarray(next(batches)[:, :t])
+        params, opt_state, metrics = step_fn(params, opt_state, wav)
+        if step % args.log_every == 0:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            m.update(step=step, wall=round(time.time() - t_start, 1))
+            print(f"[train_codec] {json.dumps(m)}", flush=True)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(m) + "\n")
+        if step % args.save_every == 0 or step == args.steps:
+            # save as bf16 to halve the checkpoint size
+            save_params(out_path, jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32), jax.device_get(params)))
+            print(f"[train_codec] saved {out_path} @ step {step}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Benchmark harness: detector self-check + survivability (embed->attack->
+detect) + combined optimal-threshold search.
+
+TPU rebuild of the reference's main harness (``watermark_research/src/
+watermark_testing.py``):
+  * detector mode = embed -> detect with NO attack, PASS/FAIL per method
+    threshold (``run_detector_checker``, ``:877-952``)
+  * benchmark mode = embed -> attack -> detect with per-method thresholds
+    0.5 / 0.99 / 0.85 (``run_qwen_benchmark``, ``:771-874``, thresholds
+    ``:822-825``)
+  * combined mode = optimal threshold from proper pre/post labels
+    (``:983-1005`` — we keep the label-correct variant and drop the circular
+    ``find_optimal_threshold`` at ``:872``, SURVEY.md §7.4)
+All clips are processed as ONE batch per (watermarker, attack) pair instead
+of the reference's per-file loops; per-item error isolation is preserved at
+the batch level (a failing watermarker yields ERROR rows, not a crash).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# reference decision thresholds (watermark_testing.py:822-825)
+DEFAULT_THRESHOLDS = {
+    "spread_spectrum": 0.5,
+    "SpreadSpectrum": 0.5,
+    "chunked": 0.85,
+    "psychoacoustic": 0.99,
+    "SemanticPCA": 0.85,
+    "SemanticCluster": 0.85,
+    "SemanticRandom": 0.85,
+}
+FALLBACK_THRESHOLD = 0.5
+
+
+def _threshold_for(name: str, thresholds: dict[str, float] | None) -> float:
+    table = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+    return table.get(name, FALLBACK_THRESHOLD)
+
+
+def _embed(wm, wav, key):
+    if getattr(wm, "n_bits", 0) > 0:
+        from ..models.base import random_message
+
+        msg = random_message(key, wav.shape[0], wm.n_bits)
+        return wm.embed(wav, msg, key), msg
+    return wm.embed(wav), None
+
+
+def _score(wm, wav, msg):
+    return np.asarray(wm.score(wav, msg) if msg is not None else wm.score(wav))
+
+
+def run_detector_checker(
+    watermarkers: dict[str, object],
+    wav: jnp.ndarray,
+    thresholds: dict[str, float] | None = None,
+    seed: int = 0,
+):
+    """Embed -> detect, no attack (``:877-952``).  -> DataFrame(watermark,
+    clip, score_before, score_after, threshold, detector_works)."""
+    import pandas as pd
+
+    rows = []
+    key = jax.random.PRNGKey(seed)
+    for name, wm in watermarkers.items():
+        th = _threshold_for(name, thresholds)
+        try:
+            marked, msg = _embed(wm, wav, key)
+            before = _score(wm, wav, msg)
+            after = _score(wm, marked, msg)
+            for i in range(wav.shape[0]):
+                rows.append({
+                    "watermark": name, "clip_index": i,
+                    "score_before": float(before[i]), "score_after": float(after[i]),
+                    "threshold": th,
+                    "detector_works": bool(after[i] > th),
+                })
+        except Exception as e:  # per-method error isolation (:834-836)
+            rows.append({"watermark": name, "clip_index": -1, "error": repr(e)})
+    return pd.DataFrame(rows)
+
+
+def run_survivability(
+    watermarkers: dict[str, object],
+    attacks: dict[str, Callable],
+    wav: jnp.ndarray,
+    thresholds: dict[str, float] | None = None,
+    seed: int = 0,
+):
+    """Embed -> attack -> detect over the full (wm x attack) grid
+    (``run_qwen_benchmark``, ``:771-874``).  -> DataFrame with per-clip
+    scores, PASS/FAIL and watermark SI-SNR."""
+    import pandas as pd
+
+    from .metrics import si_snr
+
+    rows = []
+    key = jax.random.PRNGKey(seed)
+    for wname, wm in watermarkers.items():
+        th = _threshold_for(wname, thresholds)
+        try:
+            marked, msg = _embed(wm, wav, key)
+            wm_snr = np.asarray(si_snr(wav, marked))
+        except Exception as e:
+            rows.append({"watermark": wname, "attack": "-", "clip_index": -1, "error": repr(e)})
+            continue
+        for aname, attack in attacks.items():
+            try:
+                attacked = attack(marked, key)
+                score = _score(wm, attacked, msg)
+                for i in range(wav.shape[0]):
+                    rows.append({
+                        "watermark": wname, "attack": aname, "clip_index": i,
+                        "score": float(score[i]), "threshold": th,
+                        "survived": bool(score[i] > th),
+                        "sisnr_wm": float(wm_snr[i]),
+                    })
+            except Exception as e:
+                rows.append({"watermark": wname, "attack": aname, "clip_index": -1, "error": repr(e)})
+    return pd.DataFrame(rows)
+
+
+def find_optimal_threshold(scores: np.ndarray, labels: np.ndarray) -> tuple[float, float]:
+    """Sweep thresholds, maximize accuracy on PROPER labels (the reference's
+    combined-mode variant, ``:989-999`` — not the circular one).
+    -> (best_threshold, best_accuracy)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = np.asarray(labels)
+    cands = np.unique(scores)
+    if len(cands) > 512:
+        cands = np.quantile(cands, np.linspace(0, 1, 512))
+    best_t, best_acc = 0.5, 0.0
+    for t in cands:
+        acc = ((scores > t) == labels).mean()
+        if acc > best_acc:
+            best_t, best_acc = float(t), float(acc)
+    return best_t, best_acc
+
+
+def detection_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Rank AUC of scores for labels (detector-quality parity metric)."""
+    s = np.asarray(scores, np.float64)
+    y = np.asarray(labels)
+    if y.min() == y.max():
+        return float("nan")
+    order = np.argsort(s)
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(s) + 1)
+    n1 = y.sum()
+    n0 = len(y) - n1
+    return float((ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n0 * n1))
+
+
+@dataclasses.dataclass
+class CombinedReport:
+    per_method: "object"  # DataFrame
+    summary: "object"  # DataFrame
+
+
+def run_combined(
+    watermarkers: dict[str, object],
+    attacks: dict[str, Callable],
+    wav: jnp.ndarray,
+    thresholds: dict[str, float] | None = None,
+    seed: int = 0,
+) -> CombinedReport:
+    """Detector-check + survivability + per-method optimal threshold from
+    {clean scores: 0} vs {wm scores, attacked scores: 1} (``:983-1005``)."""
+    import pandas as pd
+
+    det = run_detector_checker(watermarkers, wav, thresholds, seed)
+    srv = run_survivability(watermarkers, attacks, wav, thresholds, seed)
+    summaries = []
+    for name in watermarkers:
+        d = det[(det.watermark == name) & (det.clip_index >= 0)]
+        s = srv[(srv.watermark == name) & (srv.clip_index >= 0)]
+        if len(d) == 0:
+            continue
+        scores = np.concatenate([d.score_before, d.score_after, s.score]) if len(s) else np.concatenate([d.score_before, d.score_after])
+        labels = np.concatenate([
+            np.zeros(len(d)), np.ones(len(d)), np.ones(len(s)) if len(s) else np.zeros(0)
+        ])
+        t, acc = find_optimal_threshold(scores, labels)
+        auc = detection_auc(scores, labels)
+        summaries.append({
+            "watermark": name, "optimal_threshold": t, "accuracy_at_optimal": acc,
+            "auc": auc,
+            "detector_pass_rate": float(d.detector_works.mean()),
+            "survival_rate": float(s.survived.mean()) if len(s) else float("nan"),
+        })
+    return CombinedReport(per_method=pd.concat([det, srv], ignore_index=True), summary=pd.DataFrame(summaries))

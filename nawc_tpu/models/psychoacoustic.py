@@ -1,0 +1,113 @@
+"""Psychoacoustic high-rate watermark (SilentCipher-capability analogue).
+
+The reference's SilentCipher wrapper operates at 44.1 kHz, carries an
+integer-symbol message (default [1,2,3,4,5]) and detects by exact message
+match (``watermark_testing.py:140-225``); its hardened variant brute-forces
+the message length (``lalm_layer_test.py:162-184``).  Here: the message is
+k 8-bit symbols -> 8k bits carried by the TF spread-spectrum core at
+44.1 kHz with a masking-shaped band, detect decodes symbols and scores the
+exact-match fraction (1.0 only when every symbol matches — the reference's
+exact-match semantic, with per-symbol partial credit available)."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import SpreadSpectrumConfig
+from .base import register
+from .spread_spectrum import SpreadSpectrumWM
+
+_DEFAULT_MESSAGE = (1, 2, 3, 4, 5)  # the reference's int message (:162)
+
+
+def ints_to_bits(msg_ints: jnp.ndarray, bits_per_symbol: int = 8) -> jnp.ndarray:
+    """(B, k) ints -> (B, k*bits) {0,1} big-endian per symbol."""
+    shifts = jnp.arange(bits_per_symbol - 1, -1, -1)
+    bits = (msg_ints[..., None] >> shifts) & 1
+    return bits.reshape(msg_ints.shape[0], -1).astype(jnp.int32)
+
+
+def bits_to_ints(bits: jnp.ndarray, bits_per_symbol: int = 8) -> jnp.ndarray:
+    """(B, k*bits) -> (B, k) ints."""
+    b = bits.reshape(bits.shape[0], -1, bits_per_symbol)
+    weights = 2 ** jnp.arange(bits_per_symbol - 1, -1, -1)
+    return jnp.sum(b * weights, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PsychoacousticWM:
+    """44.1 kHz, k-symbol message, exact-match detection."""
+
+    n_symbols: int = 5
+    bits_per_symbol: int = 8
+    seed: int = 2
+    # 40 payload bits need per-bit z >~ 3.5 for reliable EXACT match
+    alpha: float = 0.12
+    name: str = "psychoacoustic"
+
+    @property
+    def cfg(self) -> SpreadSpectrumConfig:
+        return SpreadSpectrumConfig(
+            sample_rate=44_100,
+            n_bits=self.n_symbols * self.bits_per_symbol,
+            n_fft=2048,
+            hop=512,
+            band_lo_hz=800.0,
+            band_hi_hz=14_000.0,
+            alpha=self.alpha,
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return 44_100
+
+    @property
+    def n_bits(self) -> int:
+        return self.n_symbols * self.bits_per_symbol
+
+    @property
+    def _core(self) -> SpreadSpectrumWM:
+        return SpreadSpectrumWM(cfg=self.cfg, seed=self.seed)
+
+    def default_message(self, batch: int) -> jnp.ndarray:
+        m = jnp.asarray(_DEFAULT_MESSAGE[: self.n_symbols], jnp.int32)
+        return jnp.tile(m[None, :], (batch, 1))
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def embed(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None, key: jax.Array | None = None) -> jnp.ndarray:
+        """`msg` is (B, n_symbols) ints in [0, 256) or (B, n_bits) bits."""
+        if msg is None:
+            msg = self.default_message(wav.shape[0])
+        bits = msg if msg.shape[-1] == self.n_bits else ints_to_bits(msg, self.bits_per_symbol)
+        return self._core.embed(wav, bits)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        presence, bits = self._core.detect(wav)
+        return presence, bits
+
+    def decode_message(self, wav: jnp.ndarray) -> jnp.ndarray:
+        _, bits = self.detect(wav)
+        return bits_to_ints(bits, self.bits_per_symbol)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def score(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Exact-match semantic (``watermark_testing.py:196-225``): 1.0 iff
+        every symbol decodes correctly; fraction of matching symbols
+        otherwise would lose the reference behavior, so exact match it is."""
+        if msg is None:
+            msg = self.default_message(wav.shape[0])
+        want = msg if msg.shape[-1] == self.n_bits else ints_to_bits(msg, self.bits_per_symbol)
+        _, bits = self.detect(wav)
+        sym_got = bits_to_ints(bits, self.bits_per_symbol)
+        sym_want = bits_to_ints(want, self.bits_per_symbol)
+        return (sym_got == sym_want).all(axis=-1).astype(jnp.float32)
+
+
+@register("psychoacoustic")
+def _build(n_symbols: int = 5, seed: int = 2) -> PsychoacousticWM:
+    return PsychoacousticWM(n_symbols=n_symbols, seed=seed)

@@ -67,7 +67,8 @@ def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
 
 
 def make_optimizer(lr: float = 3e-4, warmup: int = 500, total: int = 100_000):
-    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, total, lr * 0.05)
+    warmup = min(warmup, max(total // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(total, warmup + 1), lr * 0.05)
     return optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=1e-4))
 
 
