@@ -60,7 +60,11 @@ class Decoder(nn.Module):
             dim //= 2
             h = DecoderBlock(dim, rate, use_noise=False)(h)
         h = Snake()(h)
-        h = nn.Conv(1, (7,), padding="SAME")(h)
+        # zero-init the output projection: the deep snake/conv stack has
+        # large activations at init, and a default-init final conv rails the
+        # tanh at +-1 (dead gradients); starting at tanh(0)=0 keeps the
+        # output in the linear region
+        h = nn.Conv(1, (7,), padding="SAME", kernel_init=nn.initializers.zeros)(h)
         return jnp.tanh(h)[..., 0]
 
 

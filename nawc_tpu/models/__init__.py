@@ -3,10 +3,12 @@ from .spread_spectrum import SpreadSpectrumWM
 from .semantic import SemanticWM, pca_axis, kmeans_axis, random_axis
 from .chunked import ChunkedWM
 from .psychoacoustic import PsychoacousticWM, ints_to_bits, bits_to_ints
+from .neural import NeuralWM, init_neural_wm, WMGenerator, WMDetector
 
 __all__ = [
     "Watermarker", "random_message", "bit_accuracy", "available", "build",
     "register", "SpreadSpectrumWM", "SemanticWM", "ChunkedWM",
     "PsychoacousticWM", "ints_to_bits", "bits_to_ints",
+    "NeuralWM", "init_neural_wm", "WMGenerator", "WMDetector",
     "pca_axis", "kmeans_axis", "random_axis",
 ]

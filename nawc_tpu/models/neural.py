@@ -1,0 +1,168 @@
+"""Trainable neural additive watermark: generator + frame-wise detector
+(AudioSeal-capability analogue).
+
+The reference wraps the pretrained ``audioseal`` pip package: additive
+watermark from a generator at 16 kHz, detector returning (B, 2+nbits, T)
+frame logits with presence = mean class-1 prob
+(``watermark_testing.py:94-111``, ``pgd_research/src/misc/attack_test.py:
+85-95``).  We cannot ship Meta's weights, so the TPU framework provides the
+same architecture shape as trainable Flax modules + a joint training step
+(train/wm_train.py): conv encoder -> bottleneck + message embedding ->
+conv decoder -> additive delta; detector = conv encoder -> upsample ->
+per-sample (2 + n_bits) logits.  NWC layout, SAME padding, fully jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..codec.layers import Snake
+from ..utils.config import NeuralWMConfig
+from .base import register
+
+
+class _ConvBlock(nn.Module):
+    dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Snake()(x)
+        x = nn.Conv(self.dim, (2 * self.stride,), strides=(self.stride,), padding="SAME")(x)
+        return x
+
+
+class _DeconvBlock(nn.Module):
+    dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Snake()(x)
+        x = nn.ConvTranspose(self.dim, (2 * self.stride,), strides=(self.stride,), padding="SAME")(x)
+        return x
+
+
+class WMGenerator(nn.Module):
+    """(wav (B, T), msg (B, n_bits)) -> additive delta (B, T)."""
+
+    cfg: NeuralWMConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = wav[..., None]
+        h = nn.Conv(cfg.dim, (7,), padding="SAME")(h)
+        dim = cfg.dim
+        for s in cfg.strides:
+            dim *= 2
+            h = _ConvBlock(dim, s)(h)
+        h = nn.Conv(cfg.bottleneck_dim, (3,), padding="SAME")(h)
+        # AudioSeal-style message embedding: one embedding per (bit, value),
+        # summed and broadcast over time
+        emb = self.param(
+            "msg_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.n_bits, 2, cfg.bottleneck_dim),
+        )
+        idx = msg.astype(jnp.int32)  # (B, n_bits) in {0,1}
+        msg_vec = jnp.sum(jnp.take_along_axis(emb[None], idx[:, :, None, None], axis=2)[:, :, 0], axis=1)
+        h = h + msg_vec[:, None, :]
+        for s in reversed(cfg.strides):
+            dim //= 2
+            h = _DeconvBlock(dim, s)(h)
+        h = Snake()(h)
+        # zero-init output: watermark starts silent (see codec Decoder note)
+        delta = nn.Conv(1, (7,), padding="SAME", kernel_init=nn.initializers.zeros)(h)[..., 0]
+        return delta[:, : wav.shape[-1]]
+
+
+class WMDetector(nn.Module):
+    """wav (B, T) -> per-sample logits (B, T, 2 + n_bits).
+
+    Channel 0:2 = absent/present classification (softmax), 2: = bit logits —
+    the reference's detector output layout (``attack_test.py:85-95``)."""
+
+    cfg: NeuralWMConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = wav[..., None]
+        h = nn.Conv(cfg.dim, (7,), padding="SAME")(h)
+        dim = cfg.dim
+        total = 1
+        for s in cfg.strides:
+            dim *= 2
+            total *= s
+            h = _ConvBlock(dim, s)(h)
+        h = Snake()(h)
+        h = nn.Conv(cfg.bottleneck_dim, (3,), padding="SAME")(h)
+        # upsample back to sample rate (repeat + refine)
+        h = jnp.repeat(h, total, axis=1)[:, : wav.shape[-1]]
+        h = nn.Conv(cfg.bottleneck_dim // 2, (7,), padding="SAME")(h)
+        h = Snake()(h)
+        return nn.Conv(2 + cfg.n_bits, (3,), padding="SAME")(h)
+
+
+def presence_prob(logits: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 2+n) -> (B,) mean class-1 probability (reference semantic)."""
+    return jax.nn.softmax(logits[..., :2], axis=-1)[..., 1].mean(axis=-1)
+
+
+def decode_bits(logits: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 2+n) -> (B, n) hard bits from time-averaged logits."""
+    return (logits[..., 2:].mean(axis=-2) > 0).astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuralWM:
+    """Watermarker API wrapper over trained generator/detector params."""
+
+    cfg: NeuralWMConfig
+    gen_params: Any
+    det_params: Any
+    name: str = "neural"
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.sample_rate
+
+    @property
+    def n_bits(self) -> int:
+        return self.cfg.n_bits
+
+    def embed(self, wav: jnp.ndarray, msg: jnp.ndarray, key=None) -> jnp.ndarray:
+        delta = WMGenerator(self.cfg).apply(self.gen_params, wav, msg)
+        return jnp.clip(wav + self.cfg.alpha * delta, -1.0, 1.0)
+
+    def logits(self, wav: jnp.ndarray) -> jnp.ndarray:
+        return WMDetector(self.cfg).apply(self.det_params, wav)
+
+    def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        lg = self.logits(wav)
+        return presence_prob(lg), decode_bits(lg)
+
+    def score(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:
+        """AudioSeal semantic: mean presence prob (``watermark_testing.py:
+        106-111``); differentiable (PGD target)."""
+        return presence_prob(self.logits(wav))
+
+
+def init_neural_wm(key: jax.Array, cfg: NeuralWMConfig = NeuralWMConfig(), example_len: int = 16_000) -> NeuralWM:
+    kg, kd = jax.random.split(key)
+    wav = jnp.zeros((1, example_len))
+    msg = jnp.zeros((1, cfg.n_bits), jnp.int32)
+    gen_params = WMGenerator(cfg).init(kg, wav, msg)
+    det_params = WMDetector(cfg).init(kd, wav)
+    return NeuralWM(cfg, gen_params, det_params)
+
+
+@register("neural")
+def _build(cfg: NeuralWMConfig = NeuralWMConfig(), seed: int = 0) -> NeuralWM:
+    return init_neural_wm(jax.random.PRNGKey(seed), cfg)

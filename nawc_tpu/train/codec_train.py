@@ -49,7 +49,7 @@ def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
         m_rec = mel_spectrogram(recon, stft_cfg, mc, log=True)
         mel_l = mel_l + jnp.mean(jnp.abs(m_ref - m_rec))
     mel_l = mel_l / len(MEL_SCALES)
-    loss = 10.0 * l1 + mel_l + 0.25 * out["commit_loss"] + 1.0 * out["codebook_loss"]
+    loss = 1.0 * l1 + 2.0 * mel_l + 0.25 * out["commit_loss"] + 1.0 * out["codebook_loss"]
     # SI-SNR metric (not a loss term)
     ref = wav - wav.mean(axis=-1, keepdims=True)
     est = recon - recon.mean(axis=-1, keepdims=True)

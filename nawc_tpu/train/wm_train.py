@@ -1,0 +1,124 @@
+"""Joint training of the neural watermark generator + detector.
+
+New capability (the reference uses pretrained AudioSeal).  Recipe:
+  * detection BCE on per-sample presence logits: marked -> 1, clean -> 0
+  * bit BCE on time-averaged bit logits of marked audio
+  * imperceptibility: L1 + multi-scale mel between wav and marked
+  * robustness: a differentiable attack (noise/lowpass/none, round-robin by
+    step) applied to the marked audio before the detector
+Data-parallel over the mesh like the codec trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..dsp.mel import mel_spectrogram
+from ..models.neural import WMDetector, WMGenerator
+from ..utils.config import MelConfig, NeuralWMConfig, StftConfig
+from .codec_train import MEL_SCALES
+
+
+@dataclasses.dataclass
+class WMTrainState:
+    gen_params: Any
+    det_params: Any
+    opt_state: Any
+    step: int
+
+
+def _bce_logits(logits, target):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
+
+
+def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray) -> jnp.ndarray:
+    """Round-robin differentiable augmentation: none / gaussian noise /
+    smoothing (lowpass surrogate) / amplitude scale."""
+    k1, k2 = jax.random.split(key)
+
+    def none(w):
+        return w
+
+    def noise(w):
+        return w + 3e-3 * jax.random.normal(k1, w.shape)
+
+    def smooth(w):
+        ker = jnp.ones((1, 1, 9)) / 9.0
+        f = w.reshape((-1, 1, w.shape[-1]))
+        out = jax.lax.conv_general_dilated(f, ker, (1,), "SAME", dimension_numbers=("NCH", "OIH", "NCH"))
+        return out.reshape(w.shape)
+
+    def scale(w):
+        g = jax.random.uniform(k2, (w.shape[0], 1), minval=0.6, maxval=1.4)
+        return w * g
+
+    return jax.lax.switch(step % 4, [none, noise, smooth, scale], wav)
+
+
+def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step):
+    delta = WMGenerator(cfg).apply(gen_params, wav, msg)
+    marked = wav + cfg.alpha * delta
+
+    attacked = _diff_attack(marked, key, step)
+    lg_marked = WMDetector(cfg).apply(det_params, attacked)
+    lg_clean = WMDetector(cfg).apply(det_params, wav)
+
+    # presence: per-sample 2-class CE
+    ce_marked = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(
+            lg_marked[..., :2], jnp.ones(lg_marked.shape[:2], jnp.int32))
+    )
+    ce_clean = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(
+            lg_clean[..., :2], jnp.zeros(lg_clean.shape[:2], jnp.int32))
+    )
+    # bits: time-averaged logits vs payload
+    bit_logits = lg_marked[..., 2:].mean(axis=-2)
+    bit_loss = _bce_logits(bit_logits, msg.astype(jnp.float32))
+
+    # imperceptibility
+    l1 = jnp.mean(jnp.abs(marked - wav))
+    mel_l = 0.0
+    for stft_cfg, mel_cfg in MEL_SCALES[:2]:
+        mc = dataclasses.replace(mel_cfg, sample_rate=cfg.sample_rate)
+        mel_l = mel_l + jnp.mean(jnp.abs(
+            mel_spectrogram(wav, stft_cfg, mc) - mel_spectrogram(marked, stft_cfg, mc)))
+    mel_l = mel_l / 2
+
+    # perceptual weight ramps in over the first 1k steps so the generator
+    # learns to imprint bits before imperceptibility pressure kicks in
+    pw = jnp.minimum(step.astype(jnp.float32) / 1000.0, 1.0)
+    loss = ce_marked + ce_clean + bit_loss + pw * (0.5 * mel_l + 5.0 * l1)
+
+    bit_acc = jnp.mean(((bit_logits > 0).astype(jnp.int32) == msg).astype(jnp.float32))
+    metrics = {
+        "loss": loss, "ce_marked": ce_marked, "ce_clean": ce_clean,
+        "bit_loss": bit_loss, "bit_acc": bit_acc, "mel": mel_l, "l1": l1,
+        "delta_rms": jnp.sqrt(jnp.mean(delta**2)),
+    }
+    return loss, metrics
+
+
+def init_wm_train(key: jax.Array, cfg: NeuralWMConfig, tx, example_len: int = 16_000) -> WMTrainState:
+    from ..models.neural import init_neural_wm
+
+    wm = init_neural_wm(key, cfg, example_len)
+    opt_state = tx.init((wm.gen_params, wm.det_params))
+    return WMTrainState(wm.gen_params, wm.det_params, opt_state, 0)
+
+
+def make_wm_train_step(cfg: NeuralWMConfig, tx):
+    def step_fn(gen_params, det_params, opt_state, wav, msg, key, step):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda gp, dp: wm_loss(cfg, gp, dp, wav, msg, key, step), argnums=(0, 1), has_aux=True
+        )(gen_params, det_params)
+        updates, opt_state = tx.update(grads, opt_state, (gen_params, det_params))
+        gen_params, det_params = optax.apply_updates((gen_params, det_params), updates)
+        return gen_params, det_params, opt_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0, 1, 2))
