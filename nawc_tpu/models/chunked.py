@@ -83,11 +83,24 @@ class ChunkedWM:
     @functools.partial(jax.jit, static_argnames=("self",))
     def score(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:
         """WavMark semantic: 1 - BER against the known payload
-        (``watermark_testing.py:130-138``); without payload, presence."""
+        (``watermark_testing.py:130-138``); without payload, presence.
+        NOTE: hard-bit BER has zero gradient — white-box attacks should
+        target :meth:`score_soft`."""
         presence, bits = self.detect(wav)
         if msg is None:
             return presence
         return jnp.mean((bits == msg).astype(jnp.float32), axis=-1)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def score_soft(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Differentiable surrogate of `score` (sigmoid of the aggregated
+        correlation statistics) — the PGD attack surface."""
+        z = self._chunk_z(wav)
+        zsum = jnp.sum(z, axis=1) / jnp.sqrt(float(z.shape[1]))
+        if msg is None:
+            return jax.nn.sigmoid(4.0 * (jnp.mean(jnp.abs(zsum), axis=-1) - 1.3))
+        s = 2.0 * msg.astype(jnp.float32) - 1.0
+        return jax.nn.sigmoid(3.0 * (jnp.mean(zsum * s, axis=-1) - 0.8))
 
 
 @register("chunked")

@@ -26,9 +26,12 @@ CFG = CodecConfig(
 )
 
 
+from tests.test_codec import warm_codec
+
+
 @pytest.fixture(scope="module")
 def codec():
-    return make_codec(jax.random.PRNGKey(0), CFG)
+    return warm_codec(make_codec(jax.random.PRNGKey(0), CFG))
 
 
 @pytest.fixture(scope="module")

@@ -19,9 +19,24 @@ CFG = CodecConfig(
 )
 
 
+def warm_codec(codec):
+    """Perturb the zero-init output conv so decode() is non-degenerate
+    (mimics a trained codec for ablation/grad tests)."""
+    import dataclasses
+    import jax
+    import numpy as np
+
+    params = jax.device_get(codec.params)
+    k = np.asarray(params["params"]["decoder"]["Conv_1"]["kernel"])
+    params["params"]["decoder"]["Conv_1"]["kernel"] = (
+        0.05 * np.random.default_rng(0).normal(size=k.shape).astype(np.float32)
+    )
+    return dataclasses.replace(codec, params=params)
+
+
 @pytest.fixture(scope="module")
 def codec():
-    return make_codec(jax.random.PRNGKey(0), CFG, example_len=CFG.chunk)
+    return warm_codec(make_codec(jax.random.PRNGKey(0), CFG, example_len=CFG.chunk))
 
 
 def test_config_geometry():
@@ -92,7 +107,9 @@ def test_grad_flows_through_ste(codec):
     wav = jnp.asarray(np.random.default_rng(4).normal(size=(1, 4096)).astype(np.float32) * 0.1)
 
     def loss(w):
-        return jnp.mean(codec.model.apply(codec.params, w)["recon"] ** 2)
+        out = codec.model.apply(codec.params, w)
+        # both paths semantic embed needs: encoder latents and recon
+        return jnp.mean(out["latent"] ** 2) + jnp.mean(out["recon"] ** 2)
 
     g = jax.grad(loss)(wav)
     assert bool(jnp.isfinite(g).all())
