@@ -37,8 +37,11 @@ def mel_to_hz(m: np.ndarray | float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def mel_matrix(cfg: MelConfig) -> jnp.ndarray:
-    """(n_bins, n_mels) triangular filterbank with Slaney area normalization."""
+def _mel_matrix_np(cfg: MelConfig) -> np.ndarray:
+    """(n_bins, n_mels) triangular filterbank with Slaney area normalization.
+
+    Cached as NUMPY on purpose: caching a jnp array created inside a jit
+    trace would store a tracer and poison later traces."""
     fmax = cfg.fmax if cfg.fmax is not None else cfg.sample_rate / 2
     n_bins = cfg.n_fft // 2 + 1
     fft_freqs = np.linspace(0.0, cfg.sample_rate / 2, n_bins)
@@ -52,7 +55,12 @@ def mel_matrix(cfg: MelConfig) -> jnp.ndarray:
         fb[:, i] = np.maximum(0.0, np.minimum(up, down))
         enorm = 2.0 / (hi - lo)
         fb[:, i] *= enorm
-    return jnp.asarray(fb, dtype=jnp.float32)
+    return fb.astype(np.float32)
+
+
+def mel_matrix(cfg: MelConfig) -> jnp.ndarray:
+    """(n_bins, n_mels) filterbank as a jnp array (fresh per call site)."""
+    return jnp.asarray(_mel_matrix_np(cfg))
 
 
 @functools.partial(jax.jit, static_argnames=("stft_cfg", "mel_cfg", "log"))
