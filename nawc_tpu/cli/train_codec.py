@@ -34,6 +34,8 @@ def main(argv=None) -> None:
     ap.add_argument("--resume", default=None)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--revive_every", type=int, default=250,
+                    help="dead-codebook-code revival interval (0 = off)")
     ap.add_argument("--size", choices=["full", "small"], default="full")
     args = ap.parse_args(argv)
 
@@ -63,16 +65,28 @@ def main(argv=None) -> None:
     t = int(args.seconds * cfg.sample_rate) // cfg.chunk * cfg.chunk or cfg.chunk
     batches = speech_batches(files, args.batch, t / cfg.sample_rate, cfg.sample_rate, seed=args.seed)
 
+    from nawc_tpu.train.codec_train import revive_dead_codes
+
     params, opt_state = state.params, state.opt_state
     out_path = Path(args.out)
     t_start = time.time()
     log_path = out_path.with_suffix(".log.jsonl")
     log_path.parent.mkdir(parents=True, exist_ok=True)
+    usage = {i: np.zeros(cfg.codebook_size, np.int64) for i in range(cfg.num_levels)}
+    revive_rng = np.random.default_rng(args.seed + 7)
     for step in range(1, args.steps + 1):
         wav = jnp.asarray(next(batches)[:, :t])
         params, opt_state, metrics = step_fn(params, opt_state, wav)
+        # accumulate codebook usage (cheap: (4096,) int transfer per step)
+        for i in range(cfg.num_levels):
+            usage[i] += np.asarray(metrics[f"usage_{i}"], np.int64)
+        if args.revive_every and step % args.revive_every == 0:
+            params, dead = revive_dead_codes(params, usage, cfg, revive_rng)
+            usage = {i: np.zeros(cfg.codebook_size, np.int64) for i in range(cfg.num_levels)}
+            print(f"[train_codec] revived dead codes per level: {dead} @ step {step}", flush=True)
         if step % args.log_every == 0:
-            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            m = {k: float(v) for k, v in jax.device_get(metrics).items() if not k.startswith("usage_")}
+            m["live_codes"] = [int((usage[i] > 0).sum()) for i in range(cfg.num_levels)]
             m.update(step=step, wall=round(time.time() - t_start, 1))
             print(f"[train_codec] {json.dumps(m)}", flush=True)
             with open(log_path, "a") as f:

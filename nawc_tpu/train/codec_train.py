@@ -63,6 +63,11 @@ def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
         "commit": out["commit_loss"], "codebook": out["codebook_loss"],
         "si_snr": sisnr,
     }
+    # per-level codebook usage histograms (dead-code revival input)
+    for i, c in enumerate(out["codes"]):
+        metrics[f"usage_{i}"] = jnp.bincount(
+            c.reshape(-1), length=cfg.codebook_size
+        )
     return loss, metrics
 
 
@@ -105,6 +110,41 @@ def make_codec_train_step(cfg: CodecConfig, tx, mesh=None):
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )
+
+
+def revive_dead_codes(
+    params,
+    usage: dict[int, np.ndarray],
+    cfg: CodecConfig,
+    rng: np.random.Generator,
+    noise_scale: float = 0.05,
+):
+    """Dead-code revival (SoundStream/Jukebox-style codebook restarts).
+
+    Codes with zero recent usage are re-seeded as noised copies of
+    high-usage codes ("splitting"), so the whole 4096-entry codebook stays
+    live instead of collapsing onto a few dozen vectors.  Host-side, every
+    few hundred steps; returns (new_params, dead_counts_per_level)."""
+    params = jax.device_get(params)
+    dead_counts = []
+    for i in range(cfg.num_levels):
+        counts = usage[i]
+        cb = np.asarray(params["params"]["quantizer"][f"level_{i}"]["codebook"])
+        dead = np.where(counts == 0)[0]
+        dead_counts.append(len(dead))
+        if len(dead) == 0:
+            continue
+        alive = np.where(counts > 0)[0]
+        if len(alive) == 0:
+            continue
+        probs = counts[alive] / counts[alive].sum()
+        src = rng.choice(alive, size=len(dead), p=probs)
+        scale = np.abs(cb[src]).mean() + 1e-4
+        cb[dead] = cb[src] + noise_scale * scale * rng.standard_normal(
+            (len(dead), cb.shape[1])
+        ).astype(cb.dtype)
+        params["params"]["quantizer"][f"level_{i}"]["codebook"] = cb
+    return params, dead_counts
 
 
 def speech_batches(
