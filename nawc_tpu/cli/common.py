@@ -66,6 +66,7 @@ def load_codec(ckpt: str | None, size: str = "full"):
 WM_CHOICES = (
     "spread_spectrum", "chunked", "psychoacoustic",
     "semantic_pca", "semantic_cluster", "semantic_random",
+    "token_green", "neural",
 )
 
 
@@ -85,6 +86,17 @@ def build_watermarkers(names: list[str], codec=None, sample_rate: int | None = N
             out[n] = ChunkedWM()
         elif n == "psychoacoustic":
             out[n] = PsychoacousticWM()
+        elif n == "token_green":
+            if codec is None:
+                raise SystemExit(f"{n} requires a codec")
+            from ..models import TokenGreenWM
+
+            out[n] = TokenGreenWM(codec)
+        elif n == "neural":
+            from ..models import init_neural_wm
+            import jax as _jax
+
+            out[n] = init_neural_wm(_jax.random.PRNGKey(0))
         elif n.startswith("semantic_"):
             if codec is None:
                 raise SystemExit(f"{n} requires --codec_ckpt / codec")

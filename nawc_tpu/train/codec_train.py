@@ -129,7 +129,8 @@ def revive_dead_codes(
     dead_counts = []
     for i in range(cfg.num_levels):
         counts = usage[i]
-        cb = np.asarray(params["params"]["quantizer"][f"level_{i}"]["codebook"])
+        # np.array (copy): device_get buffers are read-only views
+        cb = np.array(params["params"]["quantizer"][f"level_{i}"]["codebook"])
         dead = np.where(counts == 0)[0]
         dead_counts.append(len(dead))
         if len(dead) == 0:
