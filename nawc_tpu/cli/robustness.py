@@ -47,6 +47,9 @@ def main(argv=None) -> None:
     write_results_csv(df, str(out / "test_results.csv"))
     overall_stats(df).to_csv(out / "overall_stats.csv", index=False)
     stats_by_attack(df).to_csv(out / "stats_by_attack.csv", index=False)
+    from ..eval.reporting import plot_metric_boxplots
+
+    plot_metric_boxplots(df, out / "sisnr_by_attack.png", metric_col="sisnr_attack")
     cols = ["bitwise/clean_mean", "bitwise/distorted_mean", "hard/clean_mean", "hard/distorted_mean", "sisnr_wm_mean"]
     print(stats_by_attack(df).set_index("attack_type")[cols].round(3).to_string())
 

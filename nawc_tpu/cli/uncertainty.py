@@ -62,6 +62,10 @@ def main(argv=None) -> None:
     ece = expected_calibration_error(stats["mc_mean_prob"], labels)
     c, a, n = reliability_curve(stats["mc_mean_prob"], labels)
     pd.DataFrame({"prob_bin": c, "accuracy": a, "count": n}).to_csv(out / "reliability_curve.csv", index=False)
+    from ..eval.reporting import plot_variance_boxplots
+
+    df["group"] = np.where(df.label == 1, "marked", "clean")
+    plot_variance_boxplots(df, out / "variance_boxplots.png", group_col="group")
     print(f"accuracy={stats['correct'].mean():.3f} var_error_auc={auc:.3f} ece={ece:.3f}")
 
 

@@ -97,6 +97,30 @@ def plot_survival_bars(df, out_path: str | Path) -> None:
     plt.close(fig)
 
 
+def plot_variance_boxplots(df, out_path: str | Path, group_col: str = "attack_type", var_col: str = "mc_var_prob") -> None:
+    """Per-group MC-variance boxplots (``analyze_uncertainty.py:155-167``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    groups = sorted(df[group_col].dropna().unique()) if group_col in df else ["all"]
+    data = [df[df[group_col] == g][var_col].dropna() for g in groups] if group_col in df else [df[var_col].dropna()]
+    fig, ax = plt.subplots(figsize=(max(5, 0.6 * len(groups)), 4))
+    ax.boxplot(data, tick_labels=[str(g) for g in groups])
+    ax.set_ylabel(var_col)
+    plt.setp(ax.get_xticklabels(), rotation=40, ha="right", fontsize=7)
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
+def plot_metric_boxplots(df, out_path: str | Path, group_col: str = "attack_type", metric_col: str = "sisnr_attack") -> None:
+    """Per-attack metric boxplots (``plot_feature_importance.py:38-57``)."""
+    plot_variance_boxplots(df, out_path, group_col, metric_col)
+
+
 def quality_results_frame(clean_paths, marked_paths, metrics_rows):
     """Rows matching audio_quality_check/*_quality_results.csv columns:
     clean,watermarked,attack,instrument,si_snr_clean,si_snr_watermarked,

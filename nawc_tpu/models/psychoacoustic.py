@@ -16,6 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.config import SpreadSpectrumConfig
 from .base import register
@@ -93,6 +94,30 @@ class PsychoacousticWM:
     def decode_message(self, wav: jnp.ndarray) -> jnp.ndarray:
         _, bits = self.detect(wav)
         return bits_to_ints(bits, self.bits_per_symbol)
+
+    def discover_message_length(self, wav: jnp.ndarray, max_symbols: int = 64) -> int:
+        """Auto-discover how many symbols are embedded (the reference's
+        hardened SilentCipher wrapper brute-forces lengths 1..64,
+        ``lalm_layer_test.py:162-184``).
+
+        Here the correlation statistics make it one pass: symbols carrying a
+        payload have |z| >> 1 while unused pattern slots sit at the N(0,1)
+        null, so the length is the number of leading symbols whose mean |z|
+        clears a 2-sigma gate."""
+        probe = PsychoacousticWM(
+            n_symbols=max_symbols,
+            bits_per_symbol=self.bits_per_symbol, seed=self.seed, alpha=self.alpha,
+        )
+        z = jnp.abs(probe._core._correlate(wav))  # (B, max_symbols*bps)
+        per_symbol = z.reshape(z.shape[0], -1, self.bits_per_symbol).mean(axis=(0, 2))
+        live = np.asarray(per_symbol > 2.0)
+        # count the contiguous live prefix
+        n = 0
+        for v in live:
+            if not v:
+                break
+            n += 1
+        return n
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def score(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:

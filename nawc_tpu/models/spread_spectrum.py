@@ -59,12 +59,20 @@ def _band_slice(cfg: SpreadSpectrumConfig) -> tuple[int, int]:
 
 def _pn_patterns(key: jax.Array, cfg: SpreadSpectrumConfig) -> jnp.ndarray:
     """(n_bits, P, band_width) ±1 TF patterns, piecewise-constant over
-    (_TIME_CELL x _FREQ_CELL) cells, derived from the secret key."""
+    (_TIME_CELL x _FREQ_CELL) cells, derived from the secret key.
+
+    Prefix-stable: bit b's pattern comes from fold_in(key, b), so a probe
+    with more bits shares the leading patterns — the psychoacoustic
+    watermark's message-length discovery depends on this."""
     lo, hi = _band_slice(cfg)
     width = hi - lo
     tc = _PN_PERIOD // _TIME_CELL
     fc = -(-width // _FREQ_CELL)
-    bits = jax.random.bernoulli(key, 0.5, (cfg.n_bits, tc, fc))
+
+    def one(b):
+        return jax.random.bernoulli(jax.random.fold_in(key, b), 0.5, (tc, fc))
+
+    bits = jax.vmap(one)(jnp.arange(cfg.n_bits))
     p = 2.0 * bits.astype(jnp.float32) - 1.0
     p = jnp.repeat(jnp.repeat(p, _TIME_CELL, axis=1), _FREQ_CELL, axis=2)
     return p[:, :, :width]

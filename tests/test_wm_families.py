@@ -79,3 +79,18 @@ def test_psychoacoustic_imperceptibility(librispeech_16k):
     marked = wm.embed(wav)
     s = np.asarray(si_snr(wav, marked))
     assert (s > 18).all(), s
+
+
+def test_message_length_discovery(librispeech_16k):
+    """Hardened SilentCipher capability (lalm_layer_test.py:162-184): the
+    verifier discovers how many symbols are embedded without being told."""
+    wav = resample(librispeech_16k[:2], 16_000, 44_100)
+    for n_sym in (3, 5):
+        wm = PsychoacousticWM(n_symbols=n_sym)
+        msg = jnp.tile(jnp.arange(1, n_sym + 1, dtype=jnp.int32)[None], (2, 1))
+        marked = wm.embed(wav, msg)
+        probe = PsychoacousticWM(n_symbols=5)  # length-agnostic verifier
+        assert probe.discover_message_length(marked, max_symbols=16) == n_sym
+    # clean audio discovers zero
+    probe = PsychoacousticWM()
+    assert probe.discover_message_length(wav, max_symbols=16) == 0
