@@ -60,6 +60,10 @@ def load_codec(ckpt: str | None, size: str = "full"):
 
         params = load_params(ckpt, codec.params)
         codec = dataclasses.replace(codec, params=params)
+        print(f"[codec] restored weights from {ckpt}")
+    else:
+        print(f"[codec] WARNING: no checkpoint at {ckpt!r}; using RANDOM weights "
+              "(codec round-trips will destroy audio; train with cli.train_codec)")
     return codec
 
 

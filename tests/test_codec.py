@@ -141,3 +141,26 @@ def test_nearest_codebook_leading_shapes():
     cb = rng.normal(size=(32, 8)).astype(np.float32)
     out = nearest_codebook(jnp.asarray(z), jnp.asarray(cb), use_pallas=False)
     assert out.shape == (2, 5)
+
+
+def test_revive_dead_codes():
+    """Dead codebook rows are re-seeded near live high-usage rows."""
+    import jax as _jax
+    from nawc_tpu.train.codec_train import revive_dead_codes
+
+    codec = make_codec(_jax.random.PRNGKey(3), CFG)
+    before = np.array(codec.params["params"]["quantizer"]["level_0"]["codebook"])
+    usage = {i: np.zeros(CFG.codebook_size, np.int64) for i in range(CFG.num_levels)}
+    usage[0][:8] = 100  # only 8 codes used at level 0
+    usage[1][:] = 1     # level 1 fully used
+    usage[2][:4] = 50
+    params, dead = revive_dead_codes(codec.params, usage, CFG, np.random.default_rng(0))
+    assert dead == [CFG.codebook_size - 8, 0, CFG.codebook_size - 4]
+    after = np.asarray(params["params"]["quantizer"]["level_0"]["codebook"])
+    # used rows untouched, dead rows changed
+    np.testing.assert_array_equal(after[:8], before[:8])
+    assert (after[8:] != before[8:]).any(axis=1).all()
+    # revived rows sit near live rows (split + small noise)
+    d = np.linalg.norm(after[8:, None, :] - after[None, :8, :], axis=-1).min(axis=1)
+    scale = np.abs(before[:8]).mean()
+    assert (d < 2.0 * scale * np.sqrt(CFG.codebook_dim)).all()
