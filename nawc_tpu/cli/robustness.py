@@ -28,6 +28,9 @@ def main(argv=None) -> None:
     ap.add_argument("--codec_ckpt", default="checkpoints/codec_24k.msgpack")
     ap.add_argument("--codec_size", choices=["full", "small"], default="full")
     ap.add_argument("--out_dir", default="results/robustness")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip attacks whose per-attack shard CSV already exists "
+                         "(restartable sweeps, SURVEY.md §5)")
     args = ap.parse_args(argv)
 
     from ..attacks import build_suite
@@ -40,10 +43,23 @@ def main(argv=None) -> None:
     suite.pop("identity", None)
 
     clips = [np.asarray(wav[i]) for i in range(wav.shape[0])]
-    df = run_robustness(wm, suite, clips, args.sample_rate, args.chunk_seconds)
-
     out = Path(args.out_dir)
-    out.mkdir(parents=True, exist_ok=True)
+    shard_dir = out / "shards"
+    shard_dir.mkdir(parents=True, exist_ok=True)
+
+    # per-attack shard files -> a killed sweep resumes where it stopped
+    import pandas as pd
+
+    frames = []
+    for aname, afn in suite.items():
+        shard = shard_dir / f"{aname}.csv"
+        if args.resume and shard.exists():
+            frames.append(pd.read_csv(shard))
+            continue
+        part = run_robustness(wm, {aname: afn}, clips, args.sample_rate, args.chunk_seconds)
+        part.to_csv(shard, index=False)
+        frames.append(part)
+    df = pd.concat(frames, ignore_index=True)
     write_results_csv(df, str(out / "test_results.csv"))
     overall_stats(df).to_csv(out / "overall_stats.csv", index=False)
     stats_by_attack(df).to_csv(out / "stats_by_attack.csv", index=False)
