@@ -37,6 +37,22 @@ class CodecTrainState:
     step: int
 
 
+def multires_stft_loss(ref: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
+    """Multi-resolution STFT loss: spectral convergence + log-magnitude L1
+    (the standard neural-vocoder objective; converges magnitudes much faster
+    than mel alone)."""
+    from ..dsp.stft import stft as _stft
+
+    total = 0.0
+    for scfg, _ in MEL_SCALES:
+        s_ref = jnp.abs(_stft(ref, scfg))
+        s_est = jnp.abs(_stft(est, scfg))
+        sc = jnp.linalg.norm(s_ref - s_est) / (jnp.linalg.norm(s_ref) + 1e-6)
+        logmag = jnp.mean(jnp.abs(jnp.log(s_ref + 1e-5) - jnp.log(s_est + 1e-5)))
+        total = total + sc + logmag
+    return total / len(MEL_SCALES)
+
+
 def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
     """wav (B, T) at cfg.sample_rate -> (scalar loss, metrics dict)."""
     out = SnacCodec(cfg).apply(params, wav)
@@ -49,7 +65,11 @@ def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
         m_rec = mel_spectrogram(recon, stft_cfg, mc, log=True)
         mel_l = mel_l + jnp.mean(jnp.abs(m_ref - m_rec))
     mel_l = mel_l / len(MEL_SCALES)
-    loss = 1.0 * l1 + 2.0 * mel_l + 0.25 * out["commit_loss"] + 1.0 * out["codebook_loss"]
+    stft_l = multires_stft_loss(wav, recon)
+    loss = (
+        1.0 * l1 + 1.0 * mel_l + 1.0 * stft_l
+        + 0.25 * out["commit_loss"] + 1.0 * out["codebook_loss"]
+    )
     # SI-SNR metric (not a loss term)
     ref = wav - wav.mean(axis=-1, keepdims=True)
     est = recon - recon.mean(axis=-1, keepdims=True)
@@ -59,7 +79,7 @@ def codec_loss(cfg: CodecConfig, params, wav: jnp.ndarray):
         (jnp.sum(proj**2, -1) + 1e-8) / (jnp.sum((est - proj) ** 2, -1) + 1e-8)
     ).mean()
     metrics = {
-        "loss": loss, "l1": l1, "mel": mel_l,
+        "loss": loss, "l1": l1, "mel": mel_l, "stft": stft_l,
         "commit": out["commit_loss"], "codebook": out["codebook_loss"],
         "si_snr": sisnr,
     }
