@@ -73,3 +73,19 @@ def test_metrics_sanity(librispeech_16k):
     assert (s > 60).all()
     n = np.asarray(snr(librispeech_16k, librispeech_16k * 0.999))
     assert (n > 40).all()
+
+
+def test_sync_detection_recovers_shifts(librispeech_16k, wm, marked_setup):
+    """FFT lag search decodes bits under arbitrary time shifts where plain
+    detection fails (the production sync story; plain detect is shift-naive)."""
+    msg, marked = marked_setup
+    shifted = jnp.roll(marked, 5000, axis=-1)
+    _, bits_plain = wm.detect(shifted)
+    assert np.asarray(bit_accuracy(bits_plain, msg)).mean() < 0.7  # broken
+    presence, bits, lag = wm.detect_sync(shifted)
+    assert np.asarray(bit_accuracy(bits, msg)).mean() > 0.9
+    assert (np.asarray(lag) == 20).mean() > 0.5  # 5000/256 ~ 19.5 frames
+    assert (np.asarray(presence) > 0.5).all()
+    # clean audio stays cold even with lag selection
+    p_clean, _, _ = wm.detect_sync(librispeech_16k)
+    assert (np.asarray(p_clean) < 0.3).all()
