@@ -28,6 +28,8 @@ def main(argv=None) -> None:
     ap.add_argument("--codec_ckpt", default="checkpoints/codec_24k.msgpack")
     ap.add_argument("--codec_size", choices=["full", "small"], default="full")
     ap.add_argument("--out_dir", default="results/robustness")
+    ap.add_argument("--sync", action="store_true",
+                    help="use shift-robust sync detection when the watermark supports it")
     ap.add_argument("--resume", action="store_true",
                     help="skip attacks whose per-attack shard CSV already exists "
                          "(restartable sweeps, SURVEY.md §5)")
@@ -56,7 +58,7 @@ def main(argv=None) -> None:
         if args.resume and shard.exists():
             frames.append(pd.read_csv(shard))
             continue
-        part = run_robustness(wm, {aname: afn}, clips, args.sample_rate, args.chunk_seconds)
+        part = run_robustness(wm, {aname: afn}, clips, args.sample_rate, args.chunk_seconds, sync=args.sync)
         part.to_csv(shard, index=False)
         frames.append(part)
     df = pd.concat(frames, ignore_index=True)

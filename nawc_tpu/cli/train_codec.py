@@ -37,18 +37,22 @@ def main(argv=None) -> None:
     ap.add_argument("--revive_every", type=int, default=250,
                     help="dead-codebook-code revival interval (0 = off)")
     ap.add_argument("--size", choices=["full", "small"], default="full")
+    from nawc_tpu.utils.config import CodecConfig
+    from nawc_tpu.utils.flags import add_dataclass_args, dataclass_from_args
+
+    add_dataclass_args(ap, CodecConfig, "cfg")  # --cfg.encoder_dim etc.
     args = ap.parse_args(argv)
 
     from nawc_tpu.train import init_codec_train, make_codec_train_step, speech_batches
     from nawc_tpu.train.codec_train import make_optimizer
     from nawc_tpu.utils.checkpoint import load_params, save_params
-    from nawc_tpu.utils.config import CodecConfig
 
     if args.size == "full":
-        cfg = CodecConfig()
+        base = CodecConfig()
     else:
-        cfg = CodecConfig(encoder_dim=8, latent_dim=64, decoder_dim=64,
-                          codebook_size=128, codebook_dim=8)
+        base = CodecConfig(encoder_dim=8, latent_dim=64, decoder_dim=64,
+                           codebook_size=128, codebook_dim=8)
+    cfg = dataclass_from_args(CodecConfig, args, "cfg", base=base)
 
     files = sorted(glob.glob(args.audio_glob))
     if not files:

@@ -43,6 +43,7 @@ def run_robustness(
     chunk_seconds: float = 2.0,
     hard_threshold: float = 0.5,
     seed: int = 0,
+    sync: bool = False,
 ):
     """-> pandas DataFrame with the raw_bench per-chunk schema.
 
@@ -69,7 +70,10 @@ def run_robustness(
     sisnr_wm = np.asarray(si_snr(batch, marked))
 
     def stats(wav):
-        presence, bits = wm.detect(wav)
+        if sync and hasattr(wm, "detect_sync"):
+            presence, bits, _ = wm.detect_sync(wav)
+        else:
+            presence, bits = wm.detect(wav)
         presence = np.asarray(presence)
         if has_bits:
             bitacc = np.asarray(jnp.mean((bits == msg).astype(jnp.float32), axis=-1))
