@@ -21,6 +21,11 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode", choices=["benchmark", "detector", "both"], default="both")
     ap.add_argument("--audio_glob", default=DEFAULT_AUDIO_GLOB)
+    ap.add_argument("--data_root", default=None,
+                    help="root with per-dataset subdirs of wavs; with --datasets, "
+                         "runs the whole benchmark per dataset (the reference's "
+                         "multi-dataset loop, watermark_testing.py:970-1021)")
+    ap.add_argument("--datasets", nargs="*", default=None)
     ap.add_argument("--watermarks", nargs="+", default=["spread_spectrum"], choices=WM_CHOICES)
     ap.add_argument("--filecount", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=2.0)
@@ -37,6 +42,28 @@ def main(argv=None) -> None:
     from ..attacks import build_suite
     from ..eval import run_combined, run_detector_checker, run_survivability
     from ..eval.reporting import plot_survival_bars, save_artifacts
+
+    # multi-dataset mode: recurse once per dataset subdir with a clean argv
+    if args.data_root and args.datasets:
+        for ds in args.datasets:
+            print(f"\n=== dataset {ds} ===")
+            child = [
+                "--mode", args.mode,
+                "--watermarks", *args.watermarks,
+                "--filecount", str(args.filecount),
+                "--seconds", str(args.seconds),
+                "--sample_rate", str(args.sample_rate),
+                "--codec_ckpt", args.codec_ckpt,
+                "--codec_size", args.codec_size,
+                "--seed", str(args.seed),
+                "--artifacts", str(args.artifacts),
+                "--audio_glob", str(Path(args.data_root) / ds / "*.wav"),
+                "--out_dir", str(Path(args.out_dir) / ds),
+            ]
+            if args.attacks:
+                child += ["--attacks", *args.attacks]
+            main(child)
+        return
 
     needs_codec = any(w.startswith("semantic") for w in args.watermarks) or not args.attacks
     codec = load_codec(args.codec_ckpt, args.codec_size) if needs_codec else None
