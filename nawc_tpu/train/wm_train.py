@@ -38,8 +38,9 @@ def _bce_logits(logits, target):
 
 def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray) -> jnp.ndarray:
     """Round-robin differentiable augmentation: none / gaussian noise /
-    smoothing (lowpass surrogate) / amplitude scale."""
-    k1, k2 = jax.random.split(key)
+    smoothing (lowpass surrogate) / amplitude scale / time roll /
+    quantization (STE)."""
+    k1, k2, k3 = jax.random.split(key, 3)
 
     def none(w):
         return w
@@ -57,7 +58,15 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray) -> jnp.nda
         g = jax.random.uniform(k2, (w.shape[0], 1), minval=0.6, maxval=1.4)
         return w * g
 
-    return jax.lax.switch(step % 4, [none, noise, smooth, scale], wav)
+    def roll(w):
+        shift = jax.random.randint(k3, (), -400, 400)
+        return jnp.roll(w, shift, axis=-1)
+
+    def quantize(w):
+        q = jnp.round(w * 128.0) / 128.0
+        return w + jax.lax.stop_gradient(q - w)  # STE through the rounding
+
+    return jax.lax.switch(step % 6, [none, noise, smooth, scale, roll, quantize], wav)
 
 
 def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step):
