@@ -97,10 +97,22 @@ def build_watermarkers(names: list[str], codec=None, sample_rate: int | None = N
 
             out[n] = TokenGreenWM(codec)
         elif n == "neural":
-            from ..models import init_neural_wm
+            import dataclasses as _dc
+
             import jax as _jax
 
-            out[n] = init_neural_wm(_jax.random.PRNGKey(0))
+            from ..models import init_neural_wm
+            from ..utils.checkpoint import load_params as _load
+
+            wm = init_neural_wm(_jax.random.PRNGKey(0))
+            ckpt = Path("checkpoints/neural_wm.msgpack")
+            if ckpt.exists():
+                blob = _load(ckpt, {"gen": wm.gen_params, "det": wm.det_params})
+                wm = _dc.replace(wm, gen_params=blob["gen"], det_params=blob["det"])
+                print(f"[neural] restored weights from {ckpt}")
+            else:
+                print("[neural] WARNING: no checkpoint; random weights (train with cli.train_wm)")
+            out[n] = wm
         elif n.startswith("semantic_"):
             if codec is None:
                 raise SystemExit(f"{n} requires --codec_ckpt / codec")
