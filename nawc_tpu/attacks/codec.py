@@ -19,18 +19,28 @@ from ..dsp.resample import resample
 from ..utils.padding import fix_length, pad_to_multiple
 
 
+def _norm_gain(wav: jnp.ndarray, target_peak: float = 0.7) -> jnp.ndarray:
+    """Per-clip gain to the codec's training loudness (speech_batches peak-
+    normalizes to 0.7; feeding other levels degrades reconstruction)."""
+    peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+    return target_peak / jnp.maximum(peak, 1e-4)
+
+
 def codec_roundtrip(
     codec: CodecState, wav: jnp.ndarray, in_sr: int | None = None
 ) -> jnp.ndarray:
     """LALM/tokenizer attack: resample -> encode -> quantize -> decode ->
     resample back -> length fix (``watermark_testing.py:42-79``).
 
-    `wav` is (B, T) at `in_sr` (defaults to the codec rate)."""
+    `wav` is (B, T) at `in_sr` (defaults to the codec rate).  Input is
+    peak-normalized into the codec's training distribution and the original
+    level is restored afterwards (level-invariant attack)."""
     sr = codec.cfg.sample_rate
     t_in = wav.shape[-1]
     x = wav if (in_sr is None or in_sr == sr) else resample(wav, in_sr, sr)
-    x = pad_to_multiple(x, codec.cfg.chunk, axis=-1)
-    y = codec.roundtrip(x)
+    g = _norm_gain(x)
+    x = pad_to_multiple(x * g, codec.cfg.chunk, axis=-1)
+    y = codec.roundtrip(x) / g
     if in_sr is not None and in_sr != sr:
         y = resample(y, sr, in_sr)
     return fix_length(y, t_in)
@@ -45,9 +55,10 @@ def layer_ablation(
     sr = codec.cfg.sample_rate
     t_in = wav.shape[-1]
     x = wav if (in_sr is None or in_sr == sr) else resample(wav, in_sr, sr)
-    x = pad_to_multiple(x, codec.cfg.chunk, axis=-1)
+    g = _norm_gain(x)
+    x = pad_to_multiple(x * g, codec.cfg.chunk, axis=-1)
     codes = codec.encode(x)
-    y = codec.decode(codes, level_mask=level_mask)
+    y = codec.decode(codes, level_mask=level_mask) / g
     if in_sr is not None and in_sr != sr:
         y = resample(y, sr, in_sr)
     return fix_length(y, t_in)
