@@ -25,15 +25,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# reference decision thresholds (watermark_testing.py:822-825)
+# reference decision thresholds (watermark_testing.py:822-825), keyed by both
+# CLI names and class display names
 DEFAULT_THRESHOLDS = {
     "spread_spectrum": 0.5,
     "SpreadSpectrum": 0.5,
+    "neural": 0.5,
     "chunked": 0.85,
     "psychoacoustic": 0.99,
+    "semantic_pca": 0.85,
+    "semantic_cluster": 0.85,
+    "semantic_random": 0.85,
     "SemanticPCA": 0.85,
     "SemanticCluster": 0.85,
     "SemanticRandom": 0.85,
+    "token_green": 0.75,
 }
 FALLBACK_THRESHOLD = 0.5
 
