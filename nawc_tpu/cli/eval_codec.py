@@ -35,6 +35,9 @@ def main(argv=None) -> None:
     sr = codec.cfg.sample_rate
     t = int(args.seconds * sr) // codec.cfg.chunk * codec.cfg.chunk
     wav = load_audio_batch(args.audio_glob, args.filecount, sr, t / sr, offset=args.offset)
+    # operate at the codec's training loudness (speech_batches peak=0.7)
+    peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+    wav = wav * (0.7 / jnp.maximum(peak, 1e-4))
 
     codes = codec.encode(wav)
     recon = codec.decode(codes)

@@ -27,6 +27,7 @@ def main(argv=None) -> None:
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="checkpoints/neural_wm.msgpack")
+    ap.add_argument("--resume", default=None)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=500)
     args = ap.parse_args(argv)
@@ -43,6 +44,12 @@ def main(argv=None) -> None:
     t = int(args.seconds * cfg.sample_rate)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr, weight_decay=1e-5))
     state = init_wm_train(jax.random.PRNGKey(args.seed), cfg, tx, example_len=t)
+    if args.resume:
+        from nawc_tpu.utils.checkpoint import load_params
+
+        blob = load_params(args.resume, {"gen": state.gen_params, "det": state.det_params})
+        state.gen_params, state.det_params = blob["gen"], blob["det"]
+        print(f"[train_wm] resumed from {args.resume}", flush=True)
     step_fn = make_wm_train_step(cfg, tx)
     batches = speech_batches(files, args.batch, args.seconds, cfg.sample_rate, seed=args.seed)
 

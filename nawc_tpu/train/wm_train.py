@@ -102,7 +102,7 @@ def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step):
     # perceptual weight ramps in over the first 1k steps so the generator
     # learns to imprint bits before imperceptibility pressure kicks in
     pw = jnp.minimum(step.astype(jnp.float32) / 1000.0, 1.0)
-    loss = ce_marked + ce_clean + bit_loss + pw * (0.5 * mel_l + 5.0 * l1)
+    loss = ce_marked + ce_clean + 3.0 * bit_loss + pw * (0.5 * mel_l + 5.0 * l1)
 
     bit_acc = jnp.mean(((bit_logits > 0).astype(jnp.int32) == msg).astype(jnp.float32))
     metrics = {
