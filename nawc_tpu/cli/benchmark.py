@@ -67,31 +67,56 @@ def main(argv=None) -> None:
 
     needs_codec = any(w.startswith("semantic") for w in args.watermarks) or not args.attacks
     codec = load_codec(args.codec_ckpt, args.codec_size) if needs_codec else None
-    # semantic watermarks run at the codec rate; others at --sample_rate
     sr = args.sample_rate
     wav = load_audio_batch(args.audio_glob, args.filecount, sr, args.seconds)
     wms = build_watermarkers(args.watermarks, codec, sample_rate=None if sr == 16_000 else sr)
 
-    suite = build_suite(sr, codec)
-    if args.attacks:
-        suite = {k: suite[k] for k in args.attacks}
+    # group watermarkers by native rate: each method gets audio and attacks
+    # at its own sample rate (the reference resamples inside each wrapper)
+    from ..dsp.resample import resample as _resample
+
+    groups: dict[int, dict[str, object]] = {}
+    for name, wm in wms.items():
+        groups.setdefault(wm.sample_rate, {})[name] = wm
+    wav_at = {}
+    for rate in groups:
+        wav_at[rate] = wav if rate == sr else _resample(wav, sr, rate)
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
+
+    import pandas as pd
+
     if args.mode == "detector":
-        df = run_detector_checker(wms, wav, seed=args.seed)
+        df = pd.concat([run_detector_checker(g, wav_at[r], seed=args.seed)
+                        for r, g in groups.items()], ignore_index=True)
         df.to_csv(out / "detector_checker_results.csv", index=False)
         print(df.groupby("watermark")["detector_works"].mean())
     elif args.mode == "benchmark":
-        df = run_survivability(wms, suite, wav, seed=args.seed)
+        dfs = []
+        for r, g in groups.items():
+            suite = build_suite(r, codec)
+            if args.attacks:
+                suite = {k: suite[k] for k in args.attacks}
+            dfs.append(run_survivability(g, suite, wav_at[r], seed=args.seed))
+        df = pd.concat(dfs, ignore_index=True)
         df.to_csv(out / "qwen_benchmark_results.csv", index=False)
         plot_survival_bars(df, out / "survival_rates.png")
         print(df[df.clip_index >= 0].groupby(["watermark", "attack"])["survived"].mean())
     else:
-        rep = run_combined(wms, suite, wav, seed=args.seed)
-        rep.per_method.to_csv(out / "combined_results.csv", index=False)
-        rep.summary.to_csv(out / "threshold_summary.csv", index=False)
-        print(rep.summary.to_string(index=False))
+        pers, summs = [], []
+        for r, g in groups.items():
+            suite = build_suite(r, codec)
+            if args.attacks:
+                suite = {k: suite[k] for k in args.attacks}
+            rep = run_combined(g, suite, wav_at[r], seed=args.seed)
+            pers.append(rep.per_method)
+            summs.append(rep.summary)
+        per_method = pd.concat(pers, ignore_index=True)
+        summary = pd.concat(summs, ignore_index=True)
+        per_method.to_csv(out / "combined_results.csv", index=False)
+        summary.to_csv(out / "threshold_summary.csv", index=False)
+        print(summary.to_string(index=False))
 
     if args.artifacts:
         import numpy as np
@@ -100,13 +125,16 @@ def main(argv=None) -> None:
 
         key = jax.random.PRNGKey(args.seed)
         name, wm = next(iter(wms.items()))
-        attack = next(iter(suite.values()))
+        wav_a = wav_at[wm.sample_rate]  # artifact at the method's native rate
+        attack = next(iter(build_suite(wm.sample_rate, codec).values()))
         if getattr(wm, "n_bits", 0) > 0:
-            msg = random_message(key, wav.shape[0], wm.n_bits)
-            marked = wm.embed(wav, msg, key)
+            msg = random_message(key, wav_a.shape[0], wm.n_bits)
+            marked = wm.embed(wav_a, msg, key)
         else:
-            marked = wm.embed(wav)
+            marked = wm.embed(wav_a)
         attacked = attack(marked, key)
+        wav = wav_a
+        sr = wm.sample_rate
         for i in range(min(args.artifacts, wav.shape[0])):
             save_artifacts(out / "artifacts", f"{name}_{i}", np.asarray(wav[i]),
                            np.asarray(marked[i]), np.asarray(attacked[i]), sr)
