@@ -77,14 +77,32 @@ def random_axis(dim: int, seed: int = 42) -> jnp.ndarray:
 # ---------------------------------------------------------------- core
 
 
-def _projections(codec_cfg: CodecConfig, params, wav: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
+def _axis_stats(params, axis: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean/std of the codebook's own projections along `axis` — the
+    scale-free unit for semantic scores.  The reference's raw-projection
+    thresholds only make sense at SNAC's particular latent scale; expressing
+    projections in codebook sigmas transfers them to any codec."""
+    cb = params["params"]["quantizer"]["level_0"]["codebook"]
+    proj = cb @ axis
+    return jnp.mean(proj), jnp.std(proj) + 1e-6
+
+
+def _projections(
+    codec_cfg: CodecConfig, params, wav: jnp.ndarray, axis: jnp.ndarray,
+    standardize: bool = True,
+) -> jnp.ndarray:
     """(B, T) -> (B, T') per-frame projections of projected latents on axis
-    (the reference's ``get_projected_z`` + matmul, ``:284-288,317``)."""
+    (the reference's ``get_projected_z`` + matmul, ``:284-288,317``),
+    standardized to codebook-sigma units by default."""
     model = SnacCodec(codec_cfg)
     z = model.apply(params, wav, method="encode_latent")  # (B, T', D)
     p = params["params"]["quantizer"]["level_0"]["in_proj"]
     zp = z @ p["kernel"] + p["bias"]  # (B, T', cb_dim)
-    return zp @ axis
+    proj = zp @ axis
+    if standardize:
+        mu, sd = _axis_stats(params, axis)
+        proj = (proj - mu) / sd
+    return proj
 
 
 @functools.partial(jax.jit, static_argnames=("codec_cfg", "scfg"))
