@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import SpreadSpectrumConfig
-from ..utils.ecc import hamming_decode, hamming_encode
+from ..utils.ecc import hamming_encode, hamming_soft_decode
 from .base import register
 from .spread_spectrum import SpreadSpectrumWM
 
@@ -105,14 +105,25 @@ class PsychoacousticWM:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """-> (presence, corrected DATA bits (B, n_bits))."""
-        presence, raw = self._core.detect(wav)
+        """-> (presence, corrected DATA bits (B, n_bits)).
+
+        Decoding is soft maximum-likelihood per symbol: the detector's
+        per-bit z statistics carry confidence, and correlating them against
+        all 256 codewords beats syndrome decoding (which mis-corrects double
+        errors) — this is what closes the exact-match gap on quiet clips."""
+        z = self._core._correlate(wav)  # (B, coded bits), soft
+        presence = jax.nn.sigmoid(
+            self._core.presence_gain
+            * (jnp.mean(jnp.abs(z), axis=-1) - self._core.presence_z0)
+        )
         if self.ecc:
-            coded = raw.reshape(raw.shape[0], self.n_symbols, _CODED_BITS)
-            data, _ = hamming_decode(coded)
+            coded = z.reshape(z.shape[0], self.n_symbols, _CODED_BITS)
+            data, _ = hamming_soft_decode(coded)
         else:
-            data = raw.reshape(raw.shape[0], self.n_symbols, self.bits_per_symbol)
-        return presence, data.reshape(raw.shape[0], -1)
+            data = (z > 0).astype(jnp.int32).reshape(
+                z.shape[0], self.n_symbols, self.bits_per_symbol
+            )
+        return presence, data.reshape(z.shape[0], -1)
 
     def decode_message(self, wav: jnp.ndarray) -> jnp.ndarray:
         _, bits = self.detect(wav)

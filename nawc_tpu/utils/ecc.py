@@ -49,6 +49,34 @@ def hamming_encode(data: jnp.ndarray) -> jnp.ndarray:
     return cw
 
 
+def _all_codewords() -> np.ndarray:
+    """(256, 12) codeword table enumerated by data byte (big-endian bits)."""
+    bytes_ = np.arange(256)
+    data = (bytes_[:, None] >> np.arange(7, -1, -1)) & 1  # (256, 8)
+    import jax.numpy as _jnp  # local to avoid tracing at import
+
+    return np.asarray(hamming_encode(_jnp.asarray(data, _jnp.int32)))
+
+
+_CODEWORDS = _all_codewords()
+
+
+def hamming_soft_decode(llr: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Maximum-likelihood soft decoding: (..., 12) soft statistics (positive
+    = bit 1, magnitude = confidence) -> ((..., 8) data bits, (...,) byte).
+
+    Correlates against all 256 codewords (a tiny matmul — MXU-friendly) and
+    picks the best.  Unlike syndrome decoding (which MIS-corrects double
+    errors, d_min=3), ML uses bit confidences, so two low-|z| flips in one
+    symbol usually still decode correctly."""
+    cw = jnp.asarray(2.0 * _CODEWORDS - 1.0, llr.dtype)  # (256, 12) ±1
+    score = jnp.einsum("...n,kn->...k", llr, cw)
+    byte = jnp.argmax(score, axis=-1)  # (...,)
+    shifts = jnp.arange(7, -1, -1)
+    data = (byte[..., None] >> shifts) & 1
+    return data.astype(jnp.int32), byte
+
+
 def hamming_decode(code: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(..., 12) received bits -> ((..., 8) corrected data,
     (...,) n_corrected in {0,1})."""
