@@ -7,8 +7,8 @@ import sys
 
 COMMANDS = (
     "benchmark", "robustness", "manifold", "ablation", "uncertainty",
-    "quality", "pgd", "stats", "watermark", "train_codec", "train_wm",
-    "eval_codec", "sample_data",
+    "quality", "perturbation", "pgd", "stats", "watermark", "train_codec",
+    "train_wm", "eval_codec", "sample_data",
 )
 
 

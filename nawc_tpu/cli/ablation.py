@@ -37,6 +37,11 @@ def main(argv=None) -> None:
     out.mkdir(parents=True, exist_ok=True)
     df.to_csv(out / "layer_ablation.csv", index=False)
     plot_ablation_heatmap(df, out / "ablation_heatmap.png")
+
+    from ..eval.figures import plot_ablation_per_wm_bars
+
+    for p in plot_ablation_per_wm_bars(df, out):
+        print(f"saved {p}")
     print(df.pivot_table(index="mask", columns="watermark", values="score", aggfunc="mean").to_string())
 
 

@@ -33,10 +33,18 @@ def main(argv=None) -> None:
     wav = load_audio_batch(args.audio_glob, args.filecount, sr, args.seconds)
     wms = build_watermarkers(args.watermarks, codec, sample_rate=sr)
 
-    df = run_manifold_analysis(codec, wms, wav, lambda w: codec_roundtrip(codec, w))
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    df = run_manifold_analysis(
+        codec, wms, wav, lambda w: codec_roundtrip(codec, w),
+        triplet_dir=out / "plots",
+    )
     df.to_csv(out / "manifold_analysis.csv", index=False)
+
+    from ..eval.figures import plot_manifold_global
+
+    for p in plot_manifold_global(df, out):
+        print(f"saved {p}")
     print(df.groupby("watermark")[["delta_wm", "delta_att", "score_wm", "score_att"]].mean().to_string())
 
 

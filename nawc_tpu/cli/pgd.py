@@ -115,6 +115,13 @@ def main(argv=None) -> None:
             })
         df = pd.DataFrame(rows)
         df.to_csv(out / "attack_baselines.csv", index=False)
+
+        from ..eval.figures import plot_detection_vs_snr
+
+        plot_detection_vs_snr(
+            df, out / "benchmark_chart.png",
+            title=f"Comparison: Subspace Attacks vs Baselines (K={args.head_k})",
+        )
         print(df.to_string(index=False))
 
     elif args.mode == "exp_a":
@@ -139,13 +146,20 @@ def main(argv=None) -> None:
             score_fn, latent_fn, marked, comps[: args.head_k],
             steps=args.steps, eps=args.eps, lr=args.lr,
         )
-        df = pd.DataFrame({
-            "method": ["standard_pgd", "subspace_pgd"],
-            "score": [float(np.asarray(score_fn(std)).mean()), float(np.asarray(score_fn(sub)).mean())],
-            "snr_db": [float(np.asarray(si_snr(marked, std)).mean()), float(np.asarray(si_snr(marked, sub)).mean())],
-        })
+        per_clip = {
+            "standard_pgd": (np.asarray(si_snr(marked, std)), np.asarray(score_fn(std))),
+            "subspace_pgd": (np.asarray(si_snr(marked, sub)), np.asarray(score_fn(sub))),
+        }
+        df = pd.DataFrame([
+            {"method": m, "clip": i, "snr_db": float(s[i]), "score": float(p[i])}
+            for m, (s, p) in per_clip.items() for i in range(len(s))
+        ])
         df.to_csv(out / "exp_c_comparison.csv", index=False)
-        print(df.to_string(index=False))
+
+        from ..eval.figures import plot_pgd_scatter
+
+        plot_pgd_scatter(per_clip, out / "experiment_c_results.png")
+        print(df.groupby("method")[["score", "snr_db"]].mean().to_string())
 
     else:  # interp
         z = latent_fn(wav)

@@ -62,10 +62,14 @@ def main(argv=None) -> None:
     ece = expected_calibration_error(stats["mc_mean_prob"], labels)
     c, a, n = reliability_curve(stats["mc_mean_prob"], labels)
     pd.DataFrame({"prob_bin": c, "accuracy": a, "count": n}).to_csv(out / "reliability_curve.csv", index=False)
+    from ..eval.figures import plot_reliability_curve, plot_uncertainty_hist, plot_uncertainty_roc
     from ..eval.reporting import plot_variance_boxplots
 
     df["group"] = np.where(df.label == 1, "marked", "clean")
     plot_variance_boxplots(df, out / "variance_boxplots.png", group_col="group")
+    plot_uncertainty_hist(df, out / "mc_var_prob_correct_vs_wrong_hist.png")
+    plot_uncertainty_roc(df, out / "mc_var_prob_roc.png")
+    plot_reliability_curve(c, a, out / "reliability_curve_mc_mean_prob.png")
     print(f"accuracy={stats['correct'].mean():.3f} var_error_auc={auc:.3f} ece={ece:.3f}")
 
 

@@ -57,23 +57,26 @@ def trajectory_stats(
     watermarked: jnp.ndarray,
     attacked: jnp.ndarray,
     project=None,
-) -> dict[str, np.ndarray]:
+    return_projs: bool = False,
+):
     """Projection trajectories of the clean/wm/attacked triplet onto `axis`
     + the derived delta columns (``run_manifold_analysis_all.py:499-503``).
 
     `project` overrides the projection (wav -> (B, T') trajectories) — the
     semantic watermarks project in their own 8-dim codebook space
-    (``project_semantic_with_wm``, ``:232-251``) rather than raw latents."""
+    (``project_semantic_with_wm``, ``:232-251``) rather than raw latents.
+    With `return_projs`, also returns the {clean,wm,att} -> (B, T')
+    trajectory dict (for the per-file triplet plots, ``:204-230``)."""
     out: dict[str, np.ndarray] = {}
     projs = {}
     proj_fn = project or (lambda wav: get_latent(codec, wav) @ axis)
     for prefix, wav in (("clean", clean), ("wm", watermarked), ("att", attacked)):
         proj = proj_fn(wav)
-        projs[prefix] = proj
+        projs[prefix] = np.asarray(proj)
         out.update(projection_stats(proj, prefix))
     out["delta_wm"] = out["wm_proj_mean"] - out["clean_proj_mean"]
     out["delta_att"] = out["att_proj_mean"] - out["wm_proj_mean"]
-    return out
+    return (out, projs) if return_projs else out
 
 
 def run_manifold_analysis(
@@ -82,12 +85,15 @@ def run_manifold_analysis(
     clean: jnp.ndarray,
     attack_fn: Callable[[jnp.ndarray], jnp.ndarray],
     embed_kwargs: dict | None = None,
+    triplet_dir=None,
 ):
     """Full per-watermarker manifold table (pandas DataFrame).
 
     For semantic watermarkers the projection axis is their own manifold axis
     (``project_semantic_with_wm``, ``:232-251``); for others it is estimated
-    from latent deltas (phase 1, ``:358-371``)."""
+    from latent deltas (phase 1, ``:358-371``).  With `triplet_dir`, renders
+    the per-file clean/wm/attacked projection plot for every clip
+    (``:479-490``) under ``<triplet_dir>/<wm>/``."""
     import pandas as pd
 
     rows = []
@@ -105,10 +111,22 @@ def run_manifold_analysis(
         attacked = attack_fn(marked)
         if hasattr(wm, "projections"):  # semantic: own axis + projected space
             axis = wm.axis
-            stats = trajectory_stats(codec, axis, clean, marked, attacked, project=wm.projections)
+            stats, projs = trajectory_stats(
+                codec, axis, clean, marked, attacked, project=wm.projections, return_projs=True
+            )
         else:  # non-semantic: data-driven latent-delta axis
             axis = estimate_axis(codec, clean, marked)
-            stats = trajectory_stats(codec, axis, clean, marked, attacked)
+            stats, projs = trajectory_stats(codec, axis, clean, marked, attacked, return_projs=True)
+        if triplet_dir is not None:
+            from pathlib import Path
+
+            from ..eval.figures import plot_proj_triplet
+
+            for i in range(clean.shape[0]):
+                plot_proj_triplet(
+                    Path(triplet_dir) / name / f"clip_{i}_proj_{name}.png",
+                    projs["clean"][i], projs["wm"][i], projs["att"][i], name,
+                )
         scores = {
             "score_clean": np.asarray(wm.score(clean)),
             "score_wm": np.asarray(wm.score(marked)),
