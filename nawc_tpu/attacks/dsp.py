@@ -246,13 +246,25 @@ def lossy_codec_surrogate(
     return istft(mag_q * phase, cfg, length=wav.shape[-1])
 
 
+# Severity calibrated against the reference's published per-attack
+# sisnr_attack anchors (audioseal/wavmark/silentcipher stats_by_attack.csv,
+# loose split): mp3 30.5-31.7 dB, vorbis 19.6-21.3 dB, aac ~-30 dB (the real
+# AAC encoder's codec delay time-shifts the waveform, which destroys SI-SNR
+# while leaving shift-tolerant detection mostly intact).  Measured surrogate
+# severities on 16 LibriSpeech clips: see docs/surrogates.md.
+
+
 def mp3(wav: jnp.ndarray, sr: int = 16_000) -> jnp.ndarray:
-    return lossy_codec_surrogate(wav, sr, bandwidth_hz=0.8 * sr / 2, step_db=1.5)
+    return lossy_codec_surrogate(wav, sr, bandwidth_hz=0.8 * sr / 2, step_db=0.5)
 
 
 def aac(wav: jnp.ndarray, sr: int = 16_000) -> jnp.ndarray:
-    return lossy_codec_surrogate(wav, sr, bandwidth_hz=0.9 * sr / 2, step_db=1.0)
+    # encoder delay ~= 2624 samples @44.1k, scaled to sr (the dominant
+    # artifact in the reference's aac rows: sisnr_attack ~ -30 dB)
+    delay = int(round(2624 * sr / 44_100))
+    y = lossy_codec_surrogate(wav, sr, bandwidth_hz=0.9 * sr / 2, step_db=1.0)
+    return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(delay, 0)])[..., : wav.shape[-1]]
 
 
 def vorbis(wav: jnp.ndarray, sr: int = 16_000) -> jnp.ndarray:
-    return lossy_codec_surrogate(wav, sr, bandwidth_hz=0.95 * sr / 2, step_db=0.8)
+    return lossy_codec_surrogate(wav, sr, bandwidth_hz=0.85 * sr / 2, step_db=4.5)
