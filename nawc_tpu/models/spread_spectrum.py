@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp.stft import stft, istft
+from ..ops.sswm import whiten_correlate
 from ..utils.config import SpreadSpectrumConfig, StftConfig
 from .base import register
 
@@ -153,29 +154,20 @@ class SpreadSpectrumWM:
     # -- detect ------------------------------------------------------------
     def _correlate(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, T) -> (B, n_bits) self-calibrated statistics z_b
-        (~N(0,1) on unmarked audio)."""
+        (~N(0,1) on unmarked audio).
+
+        Per-bin whitening over time equalizes bin reliability and kills
+        stationary structure (harmonic combs); rolled-pattern correlations
+        sample the clip's own null distribution for the sigma estimate.
+        The whiten+correlate+null pass is the detect hot path and runs as
+        one fused Pallas kernel on TPU (``ops/sswm.py``)."""
         lo, hi = _band_slice(self.cfg)
         spec = stft(wav, self.stft_cfg)
         t = spec.shape[-2]
         p = _tile_patterns(self._patterns(), t)  # (n_bits, T', W)
         logmag = jnp.log(jnp.abs(spec) + 1e-6)
         r = (logmag - _freq_smooth(logmag))[..., lo:hi]  # (B, T', W)
-        # per-bin whitening over time: equalizes bin reliability and kills
-        # stationary structure (harmonic combs) exactly via the mean removal
-        mu = jnp.mean(r, axis=-2, keepdims=True)
-        sd = jnp.std(r, axis=-2, keepdims=True)
-        r = (r - mu) / (sd + 0.2)
-        p = p - jnp.mean(p, axis=-2, keepdims=True)
-        r = r - jnp.mean(r, axis=(-2, -1), keepdims=True)
-        corr = jnp.einsum("btw,ktw->bk", r, p)
-        # null calibration: rolled patterns are watermark-orthogonal, so
-        # their correlations sample this clip's own null distribution
-        nulls = jnp.stack(
-            [jnp.einsum("btw,ktw->bk", r, jnp.roll(p, o, axis=-2)) for o in _NULL_OFFSETS],
-            axis=-1,
-        )
-        sigma = jnp.sqrt(jnp.mean(nulls**2, axis=(-2, -1)))  # (B,)
-        return corr / (sigma[:, None] + 1e-8)
+        return whiten_correlate(r, p, _NULL_OFFSETS)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
