@@ -36,26 +36,28 @@ def _bce_logits(logits, target):
     return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
 
 
-def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray) -> jnp.ndarray:
-    """Round-robin differentiable augmentation: none / gaussian noise /
-    smoothing (lowpass surrogate) / amplitude scale / time roll /
-    quantization (STE)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.ndarray) -> jnp.ndarray:
+    """Round-robin differentiable augmentation with a severity curriculum
+    (`sev` ramps 0 -> 1): none / gaussian noise / smoothing (lowpass
+    surrogate) / amplitude scale / time roll / quantization (STE) /
+    fft lowpass / reverb / lossy-codec surrogate."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def none(w):
         return w
 
     def noise(w):
-        return w + 3e-3 * jax.random.normal(k1, w.shape)
+        return w + (1e-3 + 4e-3 * sev) * jax.random.normal(k1, w.shape)
 
     def smooth(w):
         ker = jnp.ones((1, 1, 9)) / 9.0
         f = w.reshape((-1, 1, w.shape[-1]))
         out = jax.lax.conv_general_dilated(f, ker, (1,), "SAME", dimension_numbers=("NCH", "OIH", "NCH"))
-        return out.reshape(w.shape)
+        return w + sev * (out.reshape(w.shape) - w)
 
     def scale(w):
-        g = jax.random.uniform(k2, (w.shape[0], 1), minval=0.6, maxval=1.4)
+        lo, hi = 1.0 - 0.4 * sev, 1.0 + 0.4 * sev
+        g = jax.random.uniform(k2, (w.shape[0], 1), minval=lo, maxval=hi)
         return w * g
 
     def roll(w):
@@ -63,32 +65,72 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray) -> jnp.nda
         return jnp.roll(w, shift, axis=-1)
 
     def quantize(w):
-        q = jnp.round(w * 128.0) / 128.0
+        # levels anneal 512 -> 128 as severity rises
+        levels = 512.0 - 384.0 * sev
+        q = jnp.round(w * levels) / levels
         return w + jax.lax.stop_gradient(q - w)  # STE through the rounding
 
-    return jax.lax.switch(step % 6, [none, noise, smooth, scale, roll, quantize], wav)
+    def fft_lowpass(w):
+        f = jnp.fft.rfft(w, axis=-1)
+        n = f.shape[-1]
+        cut = (1.0 - 0.5 * sev) * n  # keep >= half the band at full severity
+        ramp = jnp.arange(n)[None, :]
+        mask = jax.nn.sigmoid((cut - ramp) / (0.02 * n))
+        return jnp.fft.irfft(f * mask, n=w.shape[-1], axis=-1)
+
+    def reverb(w):
+        # random exponentially-decaying impulse response, 25 ms
+        t = jnp.arange(400)
+        ir = jax.random.normal(k4, (400,)) * jnp.exp(-t / 80.0)
+        ir = ir.at[0].set(1.0 / (0.15 * sev + 1e-3))
+        ir = ir / jnp.sqrt(jnp.sum(ir * ir))
+        f = w.reshape((-1, 1, w.shape[-1]))
+        out = jax.lax.conv_general_dilated(
+            f, ir.reshape(1, 1, -1), (1,), "SAME", dimension_numbers=("NCH", "OIH", "NCH"))
+        return out.reshape(w.shape)
+
+    def codec_surrogate(w):
+        from ..attacks.dsp import lossy_codec_surrogate
+
+        sr = 16_000
+        return lossy_codec_surrogate(w, sr, bandwidth_hz=(0.95 - 0.15 * sev) * sr / 2,
+                                     step_db=2.0 * sev + 0.25)
+
+    fns = [none, noise, smooth, scale, roll, quantize, fft_lowpass, reverb, codec_surrogate]
+    return jax.lax.switch(step % len(fns), fns, wav)
 
 
 def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step):
     delta = WMGenerator(cfg).apply(gen_params, wav, msg)
     marked = wav + cfg.alpha * delta
 
-    attacked = _diff_attack(marked, key, step)
-    lg_marked = WMDetector(cfg).apply(det_params, attacked)
+    # attack-strength curriculum: mild for the first 2k steps, full by 10k
+    sev = jnp.clip((step.astype(jnp.float32) - 2000.0) / 8000.0, 0.0, 1.0)
+    attacked = _diff_attack(marked, key, step, sev)
+    lg_att = WMDetector(cfg).apply(det_params, attacked)
+    lg_marked = WMDetector(cfg).apply(det_params, marked)
     lg_clean = WMDetector(cfg).apply(det_params, wav)
 
-    # presence: per-sample 2-class CE
+    # presence: per-sample 2-class CE (attacked counts as present)
     ce_marked = jnp.mean(
         optax.softmax_cross_entropy_with_integer_labels(
-            lg_marked[..., :2], jnp.ones(lg_marked.shape[:2], jnp.int32))
+            lg_att[..., :2], jnp.ones(lg_att.shape[:2], jnp.int32))
     )
     ce_clean = jnp.mean(
         optax.softmax_cross_entropy_with_integer_labels(
             lg_clean[..., :2], jnp.zeros(lg_clean.shape[:2], jnp.int32))
     )
-    # bits: time-averaged logits vs payload
-    bit_logits = lg_marked[..., 2:].mean(axis=-2)
-    bit_loss = _bce_logits(bit_logits, msg.astype(jnp.float32))
+    # bits: per-frame supervision forces temporal redundancy (an attack that
+    # destroys some frames leaves the majority vote intact), plus the pooled
+    # decode-time statistic; both on the clean-marked AND attacked channels
+    tgt = msg.astype(jnp.float32)[:, None, :]
+    bit_frame = 0.5 * (_bce_logits(lg_att[..., 2:], tgt) + _bce_logits(lg_marked[..., 2:], tgt))
+    bit_logits = lg_att[..., 2:].mean(axis=-2)
+    bit_pool = 0.5 * (
+        _bce_logits(bit_logits, tgt[:, 0])
+        + _bce_logits(lg_marked[..., 2:].mean(axis=-2), tgt[:, 0])
+    )
+    bit_loss = bit_pool + bit_frame
 
     # imperceptibility
     l1 = jnp.mean(jnp.abs(marked - wav))
@@ -108,7 +150,7 @@ def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step):
     metrics = {
         "loss": loss, "ce_marked": ce_marked, "ce_clean": ce_clean,
         "bit_loss": bit_loss, "bit_acc": bit_acc, "mel": mel_l, "l1": l1,
-        "delta_rms": jnp.sqrt(jnp.mean(delta**2)),
+        "sev": sev, "delta_rms": jnp.sqrt(jnp.mean(delta**2)),
     }
     return loss, metrics
 
