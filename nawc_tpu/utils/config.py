@@ -121,10 +121,12 @@ class NeuralWMConfig:
 class SemanticWMConfig:
     """Semantic manifold watermark hyperparameters.
 
-    Parity constants from the reference: 150 Adam steps at lr 5e-3, static
-    eps 5e-3 (PCA variant) or dynamic eps from a 42 dB target SDR
-    (cluster/random variants), hinge target scores -/+1.5, silence threshold
-    0.02, pad-to-4096 (``watermark_testing.py:292-296,467-484,609-625``).
+    Parity constants from the reference: Adam at lr 5e-3, static eps 5e-3
+    (PCA variant) or a dynamic budget from a target SDR (cluster/random
+    variants), hinge target scores -/+1.5, silence threshold 0.02,
+    pad-to-4096 (``watermark_testing.py:292-296,467-484,609-625``).
+    PN-modulation fields (pn_seed, ma_window, score_scale, cap_mult) belong
+    to the round-2 detector deviation documented in ``models/semantic.py``.
     """
 
     steps: int = 150
@@ -137,3 +139,7 @@ class SemanticWMConfig:
     target_score: float = 1.5
     silence_threshold: float = 0.02
     detect_threshold: float = 0.85
+    pn_seed: int = 7
+    ma_window: int = 9
+    score_scale: float = 0.28
+    cap_mult: float = 6.0

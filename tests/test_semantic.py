@@ -52,21 +52,24 @@ def test_pca_axis_is_leading_direction(codec):
         assert var_axis >= ((centered @ v) ** 2).mean() - 1e-6
 
 
-def test_embed_raises_projection(codec, wav):
+def test_embed_raises_pn_correlation(codec, wav):
     axis = kmeans_axis(codec.projected_codebook)
-    before = np.asarray(semantic_score(codec.cfg, codec.params, axis, wav))
+    before = np.asarray(semantic_score(codec.cfg, FAST, codec.params, axis, wav))
     marked = semantic_embed(codec.cfg, FAST, codec.params, axis, wav)
-    after = np.asarray(semantic_score(codec.cfg, codec.params, axis, marked))
+    after = np.asarray(semantic_score(codec.cfg, FAST, codec.params, axis, marked))
     assert (after > before + 1e-3).all(), (before, after)
 
 
-def test_embed_eps_constraint(codec, wav):
+def test_embed_budget_constraint(codec, wav):
     axis = random_axis(CFG.codebook_dim)
     marked = semantic_embed(codec.cfg, FAST, codec.params, axis, wav)
-    delta = np.abs(np.asarray(marked - wav))
+    delta = np.asarray(marked - wav)
     rms = np.sqrt(np.mean(np.asarray(wav) ** 2, axis=-1))
-    eps = np.clip(rms * 10 ** (-42.0 / 20.0) * 2.0, 1e-4, 0.1)
-    assert (delta.max(axis=-1) <= eps * 1.001).all()
+    amp = rms * 10 ** (-FAST.target_sdr_db / 20.0)
+    # L2 ball: ||delta||_2 <= amp * sqrt(N); peak cap: |delta| <= cap_mult*amp
+    r2 = amp * np.sqrt(wav.shape[-1])
+    assert (np.linalg.norm(delta, axis=-1) <= r2 * 1.001).all()
+    assert (np.abs(delta).max(axis=-1) <= FAST.cap_mult * amp * 1.001).all()
 
 
 def test_embed_static_eps_and_silence_mask(codec, wav):
