@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--revive_every", type=int, default=250,
                     help="dead-codebook-code revival interval (0 = off)")
+    ap.add_argument("--sisnr_weight", type=float, default=0.0,
+                    help="negative-SI-SNR loss weight (phase-locking term)")
+    ap.add_argument("--val_files", type=int, default=0,
+                    help="hold out the last N files; eval si-snr/lsd/stoi every save_every")
     ap.add_argument("--size", choices=["full", "small"], default="full")
     from nawc_tpu.utils.config import CodecConfig
     from nawc_tpu.utils.flags import add_dataclass_args, dataclass_from_args
@@ -57,17 +61,31 @@ def main(argv=None) -> None:
     files = sorted(glob.glob(args.audio_glob))
     if not files:
         raise SystemExit(f"no audio files match {args.audio_glob}")
-    print(f"[train_codec] {len(files)} files, cfg hop={cfg.hop} chunk={cfg.chunk}", flush=True)
+    val_files: list[str] = []
+    if args.val_files:
+        val_files, files = files[-args.val_files:], files[: -args.val_files]
+    print(f"[train_codec] {len(files)} train / {len(val_files)} val files, "
+          f"cfg hop={cfg.hop} chunk={cfg.chunk}", flush=True)
 
     tx = make_optimizer(lr=args.lr, total=args.steps)
     state, _ = init_codec_train(jax.random.PRNGKey(args.seed), cfg, tx=tx, example_len=int(args.seconds * cfg.sample_rate) // cfg.chunk * cfg.chunk or cfg.chunk)
     if args.resume:
         state.params = load_params(args.resume, state.params)
         print(f"[train_codec] resumed params from {args.resume}", flush=True)
-    step_fn = make_codec_train_step(cfg, tx)
+    step_fn = make_codec_train_step(cfg, tx, sisnr_weight=args.sisnr_weight)
 
     t = int(args.seconds * cfg.sample_rate) // cfg.chunk * cfg.chunk or cfg.chunk
     batches = speech_batches(files, args.batch, t / cfg.sample_rate, cfg.sample_rate, seed=args.seed)
+
+    eval_fn = None
+    val_batch = None
+    if val_files:
+        from nawc_tpu.train.codec_train import make_codec_eval_fn
+
+        eval_fn = make_codec_eval_fn(cfg)
+        val_batch = jnp.asarray(next(speech_batches(
+            val_files, min(4 * args.batch, 64), t / cfg.sample_rate,
+            cfg.sample_rate, seed=args.seed + 1, loop=False))[:, :t])
 
     from nawc_tpu.train.codec_train import revive_dead_codes
 
@@ -84,17 +102,21 @@ def main(argv=None) -> None:
         # accumulate codebook usage (cheap: (4096,) int transfer per step)
         for i in range(cfg.num_levels):
             usage[i] += np.asarray(metrics[f"usage_{i}"], np.int64)
-        if args.revive_every and step % args.revive_every == 0:
-            params, dead = revive_dead_codes(params, usage, cfg, revive_rng)
-            usage = {i: np.zeros(cfg.codebook_size, np.int64) for i in range(cfg.num_levels)}
-            print(f"[train_codec] revived dead codes per level: {dead} @ step {step}", flush=True)
         if step % args.log_every == 0:
+            # before revival: revival zeroes `usage`, which used to make
+            # coinciding log steps report live_codes [0,0,0] (round-1 bug)
             m = {k: float(v) for k, v in jax.device_get(metrics).items() if not k.startswith("usage_")}
             m["live_codes"] = [int((usage[i] > 0).sum()) for i in range(cfg.num_levels)]
+            if eval_fn is not None and step % args.save_every == 0:
+                m.update({k: float(v) for k, v in jax.device_get(eval_fn(params, val_batch)).items()})
             m.update(step=step, wall=round(time.time() - t_start, 1))
             print(f"[train_codec] {json.dumps(m)}", flush=True)
             with open(log_path, "a") as f:
                 f.write(json.dumps(m) + "\n")
+        if args.revive_every and step % args.revive_every == 0:
+            params, dead = revive_dead_codes(params, usage, cfg, revive_rng)
+            usage = {i: np.zeros(cfg.codebook_size, np.int64) for i in range(cfg.num_levels)}
+            print(f"[train_codec] revived dead codes per level: {dead} @ step {step}", flush=True)
         if step % args.save_every == 0 or step == args.steps:
             # save as bf16 to halve the checkpoint size
             save_params(out_path, jax.tree_util.tree_map(
