@@ -55,26 +55,38 @@ def green_embed(
     params,
     mask: jnp.ndarray,
     wav: jnp.ndarray,
-    steps: int = 200,
+    steps: int = 300,
     lr: float = 5e-3,
-    eps: float = 0.01,
+    target_sdr_db: float = 31.0,
+    margin: float = 0.1,
 ) -> jnp.ndarray:
-    """Pull every frame's projected latent toward its nearest green vector
-    (reference loss: mean min-distance-to-green, ``:100-130``)."""
+    """Push every frame's projected latent across the green/red boundary
+    WITH MARGIN (reference loss is plain min-distance-to-green,
+    ``lalm_design_test.py:100-130``; the margin hinge is a round-2 deviation
+    — it spends the budget only on frames not yet robustly green, which is
+    what moves the green-token RATIO, the actual detection statistic).
+    Budget: L2 ball from the target SDR plus a peak cap, as in
+    ``semantic.semantic_embed``."""
     x = pad_to_multiple(wav, codec_cfg.chunk, axis=-1)
     cb = params["params"]["quantizer"]["level_0"]["codebook"]
-    green = cb[jnp.nonzero(mask, size=mask.shape[0] // 2)[0]]  # (G, D)
-    green_n = _normalize(green)
-    silence = (jnp.abs(x) > 0.01).astype(x.dtype)
+    cn = _normalize(cb)
+    green_col = mask[None, None, :]  # (1, 1, K) bool
+    rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+    amp = rms * 10.0 ** (-target_sdr_db / 20.0)
+    r2 = amp * jnp.sqrt(jnp.asarray(x.shape[-1], x.dtype))
+    cap = 6.0 * amp
+    silence = (jnp.abs(x) > amp).astype(x.dtype)
     opt = optax.adam(lr)
 
     def loss_fn(delta):
         zp = _projected(codec_cfg, params, x + delta * silence)
         zn = _normalize(zp)
-        # cosine distance to the nearest green vector (the codec's own
-        # lookup metric, so "green" here == "green" at detect time)
-        sims = jnp.einsum("btd,gd->btg", zn, green_n)
-        return jnp.mean(1.0 - jnp.max(sims, axis=-1))
+        # cosine scores against ALL codes (the codec's own lookup metric,
+        # so "green" here == "green" at detect time)
+        sims = jnp.einsum("btd,kd->btk", zn, cn)
+        best_green = jnp.max(jnp.where(green_col, sims, -2.0), axis=-1)
+        best_red = jnp.max(jnp.where(green_col, -2.0, sims), axis=-1)
+        return jnp.mean(jax.nn.relu(margin - (best_green - best_red)))
 
     grad_fn = jax.grad(loss_fn)
 
@@ -82,7 +94,10 @@ def green_embed(
         delta, opt_state = carry
         g = grad_fn(delta) * silence
         updates, opt_state = opt.update(g, opt_state, delta)
-        delta = jnp.clip(optax.apply_updates(delta, updates), -eps, eps)
+        delta = optax.apply_updates(delta, updates)
+        norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True)) + 1e-12
+        delta = delta * jnp.minimum(1.0, r2 / norm)
+        delta = jnp.clip(delta, -cap, cap)
         return delta, opt_state
 
     d0 = jnp.zeros_like(x)
@@ -96,9 +111,10 @@ class TokenGreenWM:
 
     codec: CodecState
     seed: int = 42
-    steps: int = 200
+    steps: int = 300
     lr: float = 5e-3
-    eps: float = 0.01
+    target_sdr_db: float = 31.0
+    margin: float = 0.1
     name: str = "token_green"
     n_bits: int = 0
 
@@ -113,7 +129,8 @@ class TokenGreenWM:
     def embed(self, wav: jnp.ndarray, msg=None, key=None) -> jnp.ndarray:
         return green_embed(
             self.codec.cfg, self.codec.params, self.mask, wav,
-            steps=self.steps, lr=self.lr, eps=self.eps,
+            steps=self.steps, lr=self.lr,
+            target_sdr_db=self.target_sdr_db, margin=self.margin,
         )
 
     def score(self, wav: jnp.ndarray, msg=None) -> jnp.ndarray:

