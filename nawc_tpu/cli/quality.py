@@ -18,6 +18,33 @@ import jax
 import numpy as np
 
 
+def summarize_quality_dir(dir_: str) -> None:
+    """<dir>/*_quality_results.csv -> quality_summary.csv with one row per
+    method: SI-SNR wm / SNR / LSD / PESQ / STOI means (the shape of
+    BASELINE.md §6.1, i.e. the reference's ``audio_quality_check`` tables)."""
+    import pandas as pd
+
+    rows = []
+    for p in sorted(Path(dir_).glob("*_quality_results.csv")):
+        df = pd.read_csv(p)
+        rows.append({
+            "method": p.name.replace("_quality_results.csv", ""),
+            "n_pairs": len(df),
+            "si_snr_wm_db": df["si_snr_watermarked"].mean(),
+            "snr_db": df["snr"].mean(),
+            "lsd": df["lsd"].mean(),
+            "pesq": df["pesq"].mean() if "pesq" in df else float("nan"),
+            "stoi": df["stoi"].mean(),
+        })
+    if not rows:
+        raise SystemExit(f"no *_quality_results.csv under {dir_}")
+    out = pd.DataFrame(rows)
+    out_path = Path(dir_) / "quality_summary.csv"
+    out.to_csv(out_path, index=False)
+    print(out.to_string(index=False))
+    print(f"wrote {out_path}")
+
+
 def main(argv=None) -> None:
     from .common import DEFAULT_AUDIO_GLOB, WM_CHOICES, build_watermarkers, load_audio_batch, load_codec
 
@@ -31,7 +58,14 @@ def main(argv=None) -> None:
     ap.add_argument("--codec_ckpt", default="checkpoints/codec_24k.msgpack")
     ap.add_argument("--codec_size", choices=["full", "small"], default="full")
     ap.add_argument("--out_csv", default="results/quality_results.csv")
+    ap.add_argument("--summarize_dir", default=None,
+                    help="aggregate <dir>/*_quality_results.csv into a "
+                         "BASELINE-style six-method summary table, then exit")
     args = ap.parse_args(argv)
+
+    if args.summarize_dir:
+        summarize_quality_dir(args.summarize_dir)
+        return
 
     from ..eval import evaluate_pair_batch, evaluate_pairs, make_pairs
 
@@ -44,7 +78,8 @@ def main(argv=None) -> None:
     elif args.watermark:
         import pandas as pd
 
-        codec = load_codec(args.codec_ckpt, args.codec_size) if args.watermark.startswith("semantic") else None
+        needs_codec = args.watermark.startswith("semantic") or args.watermark == "token_green"
+        codec = load_codec(args.codec_ckpt, args.codec_size) if needs_codec else None
         wav = load_audio_batch(args.audio_glob, args.filecount, args.sample_rate, args.seconds)
         wm = build_watermarkers([args.watermark], codec, sample_rate=None if args.sample_rate == 16_000 else args.sample_rate)[args.watermark]
         key = jax.random.PRNGKey(0)
@@ -56,10 +91,15 @@ def main(argv=None) -> None:
         else:
             marked = wm.embed(wav)
         cols = evaluate_pair_batch(wav, marked, args.sample_rate)
+        from ..eval.metrics import pesq_host
+
+        pesq_col = [pesq_host(np.asarray(wav[i]), np.asarray(marked[i]), args.sample_rate)
+                    for i in range(wav.shape[0])]
         df = pd.DataFrame({"clean": [f"clip_{i}" for i in range(wav.shape[0])],
                            "watermarked": [args.watermark] * wav.shape[0],
                            "attack": "", "instrument": "speech",
-                           **{k: v for k, v in cols.items()}})
+                           **{k: v for k, v in cols.items()},
+                           "pesq": pesq_col})
     else:
         raise SystemExit("need --results_dir or --watermark")
 

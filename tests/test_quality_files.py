@@ -60,3 +60,23 @@ def test_ablation_heatmap_plot(tmp_path):
     out = tmp_path / "hm.png"
     plot_ablation_heatmap(df, out)
     assert out.stat().st_size > 1000
+
+
+def test_quality_summary_aggregation(tmp_path, capsys):
+    """--summarize_dir builds the BASELINE-style six-method table."""
+    import pandas as pd
+
+    from nawc_tpu.cli.quality import summarize_quality_dir
+
+    for name, si in [("AudioSeal", 26.4), ("SilentCipher", 48.7)]:
+        pd.DataFrame({
+            "si_snr_watermarked": [si, si + 1.0],
+            "snr": [si, si], "lsd": [9.0, 9.2],
+            "stoi": [0.99, 0.999], "pesq": [float("nan")] * 2,
+        }).to_csv(tmp_path / f"{name}_quality_results.csv", index=False)
+    summarize_quality_dir(str(tmp_path))
+    out = pd.read_csv(tmp_path / "quality_summary.csv")
+    assert list(out["method"]) == ["AudioSeal", "SilentCipher"]
+    assert out["n_pairs"].tolist() == [2, 2]
+    np.testing.assert_allclose(out["si_snr_wm_db"], [26.9, 49.2])
+    assert out["pesq"].isna().all()
