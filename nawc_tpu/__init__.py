@@ -24,3 +24,28 @@ utils     Config dataclasses, PRNG plumbing, padding, WAV I/O.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for every CLI / library entry point.
+
+    TPU compiles here go through a remote tunnel and are serial across
+    processes (CLAUDE.md), so re-jitting the same codec/watermark graphs in
+    each CLI invocation costs minutes.  The on-disk cache makes the second
+    process pay ~0.  Safe on CPU too; never raises (older jax versions).
+    """
+    import os
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NAWC_JAX_CACHE", "/tmp/nawc_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

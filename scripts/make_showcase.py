@@ -4,7 +4,17 @@ Runs every analysis pipeline the framework provides against real speech and
 collects artifacts under results/showcase/.  Run on the TPU host once a
 codec checkpoint exists:
 
-  python scripts/make_showcase.py [--quick]
+  python scripts/make_showcase.py --scale full     # reference-scale sweep
+  python scripts/make_showcase.py --scale standard # round-1 sized
+  python scripts/make_showcase.py --scale quick    # CPU smoke
+
+``full`` reproduces the reference's published evidence shape
+(SURVEY.md §6 / BASELINE.md): six per-method ``*_quality_results.csv``
+tables at n≈120 pairs (``audio_quality_check/``), raw_bench-schema
+robustness sweeps over the whole corpus for the bit-carrying methods
+(>=9k chunk rows each, ``interpretability_research/outputs/*_stats_*``),
+plus the full figure set (manifold, ablation, uncertainty, perturbation,
+PGD, stats).
 """
 
 from __future__ import annotations
@@ -12,50 +22,102 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# CLI method name -> reference display name for quality CSV files
+QUALITY_NAME = {
+    "neural": "AudioSeal",
+    "chunked": "WavMark",
+    "psychoacoustic": "SilentCipher",
+    "semantic_pca": "SemanticPCA",
+    "semantic_cluster": "SemanticCluster",
+    "semantic_random": "SemanticRandom",
+    "spread_spectrum": "SpreadSpectrum",
+    "token_green": "TokenGreen",
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="fewer files (CPU smoke)")
+    ap.add_argument("--scale", choices=["quick", "standard", "full"], default="standard")
+    ap.add_argument("--quick", action="store_true", help="alias for --scale quick")
     ap.add_argument("--out", default="results/showcase")
     ap.add_argument("--ckpt", default="checkpoints/codec_24k.msgpack")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only the named stages (see run() calls)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a jax platform (the axon TPU plugin ignores "
+                         "the JAX_PLATFORMS env var; jax.config works)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
 
-    n = 4 if args.quick else 16
+        jax.config.update("jax_platforms", args.platform)
+    scale = "quick" if args.quick else args.scale
+
+    n = {"quick": 4, "standard": 16, "full": 124}[scale]
+    n_sem = {"quick": 4, "standard": 8, "full": 24}[scale]
+    quality_n = {"quick": 4, "standard": 16, "full": 120}[scale]
+    rob_seconds = {"quick": 4.0, "standard": 4.0, "full": 8.0}[scale]
+    # semantic embeds are per-clip Adam-PGD; long clips only at showcase scales
+    sem_seconds = {"quick": 1.4, "standard": 5.0, "full": 5.0}[scale]
     out = Path(args.out)
     t0 = time.time()
 
-    from nawc_tpu.cli import ablation, benchmark, eval_codec, manifold, pgd, quality, robustness, uncertainty
+    from nawc_tpu.cli import (ablation, benchmark, eval_codec, manifold,
+                              perturbation, pgd, quality, robustness, stats,
+                              uncertainty)
+
+    failures: list[str] = []
 
     def run(name, fn, argv):
+        if args.only and not any(name.startswith(o) for o in args.only):
+            return
         t = time.time()
         print(f"\n=== showcase: {name} ===", flush=True)
-        fn(argv)
+        try:
+            fn(argv)
+        except Exception:
+            # failure isolation: a broken stage must not kill the sweep
+            traceback.print_exc()
+            failures.append(name)
         print(f"=== {name} done in {time.time() - t:.0f}s ===", flush=True)
 
     run("eval_codec", eval_codec.main, ["--ckpt", args.ckpt, "--filecount", str(n)])
     run("benchmark", benchmark.main, [
-        "--mode", "both", "--watermarks", "spread_spectrum", "chunked", "psychoacoustic",
+        "--mode", "both", "--watermarks", "spread_spectrum", "chunked",
+        "psychoacoustic", "neural",
         "--filecount", str(n), "--codec_ckpt", args.ckpt,
         "--out_dir", str(out / "benchmark"), "--artifacts", "2",
     ])
     run("benchmark_semantic", benchmark.main, [
         "--mode", "both", "--watermarks", "semantic_pca", "semantic_cluster",
         "semantic_random", "token_green",
-        "--filecount", str(min(n, 8)), "--seconds", "1.4",
+        "--filecount", str(n_sem), "--seconds", str(sem_seconds),
         "--sample_rate", "24000", "--codec_ckpt", args.ckpt,
         "--out_dir", str(out / "benchmark_semantic"),
     ])
-    run("robustness", robustness.main, [
-        "--watermark", "spread_spectrum", "--filecount", str(n),
-        "--codec_ckpt", args.ckpt, "--out_dir", str(out / "robustness"), "--resume",
-    ])
+    # raw_bench-parity robustness sweeps: one stats tree per bit-carrying
+    # method (reference: audioseal/wavmark/silentcipher outputs)
+    rob_methods = ["neural", "chunked", "psychoacoustic", "spread_spectrum"]
+    if scale != "full":
+        rob_methods = ["spread_spectrum"] if scale == "quick" else rob_methods[:1] + ["spread_spectrum"]
+    for m in dict.fromkeys(rob_methods):
+        sub = "robustness" if m == "spread_spectrum" else f"robustness_{m}"
+        run(f"robustness:{m}", robustness.main, [
+            "--watermark", m, "--filecount", str(n), "--seconds", str(rob_seconds),
+            "--codec_ckpt", args.ckpt, "--out_dir", str(out / sub), "--resume",
+        ])
+        run(f"stats:{m}", stats.main, [
+            "--results", str(out / sub / "test_results.csv"),
+            "--out_dir", str(out / sub / "stats"),
+        ])
     run("manifold", manifold.main, [
         "--watermarks", "spread_spectrum", "semantic_cluster",
-        "--filecount", str(min(n, 8)), "--seconds", "1.4",
+        "--filecount", str(n_sem), "--seconds", "1.4",
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "manifold"),
     ])
     run("ablation", ablation.main, [
@@ -63,13 +125,27 @@ def main() -> None:
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "ablation"),
     ])
     run("uncertainty", uncertainty.main, [
-        "--watermark", "spread_spectrum", "--filecount", str(n),
+        "--watermark", "spread_spectrum", "--filecount", str(min(n, 32)),
         "--out_dir", str(out / "uncertainty"),
     ])
-    run("quality", quality.main, [
-        "--watermark", "spread_spectrum", "--filecount", str(n),
-        "--out_csv", str(out / "quality" / "SpreadSpectrum_quality_results.csv"),
+    run("perturbation", perturbation.main, [
+        "--watermark", "spread_spectrum", "--filecount", str(min(n, 32)),
+        "--codec_ckpt", args.ckpt, "--out_dir", str(out / "perturbation"),
     ])
+    # six-method imperceptibility table (reference audio_quality_check/)
+    q_methods = ["spread_spectrum"] if scale == "quick" else list(QUALITY_NAME)
+    for m in q_methods:
+        is_sem = m.startswith("semantic") or m == "token_green"
+        argv = [
+            "--watermark", m, "--filecount", str(quality_n),
+            "--codec_ckpt", args.ckpt,
+            "--out_csv", str(out / "quality" / f"{QUALITY_NAME[m]}_quality_results.csv"),
+        ]
+        if is_sem:
+            argv += ["--sample_rate", "24000", "--seconds", "5.0",
+                     "--filecount", str(min(quality_n, 120))]
+        run(f"quality:{m}", quality.main, argv)
+    run("quality:summary", quality.main, ["--summarize_dir", str(out / "quality")])
     run("pgd_exp_b", pgd.main, [
         "--mode", "exp_b", "--filecount", str(min(n, 8)),
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "pgd"),
@@ -78,7 +154,10 @@ def main() -> None:
         "--mode", "interp", "--filecount", str(min(n, 4)), "--steps", "30",
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "pgd"),
     ])
-    print(f"\nshowcase complete in {time.time() - t0:.0f}s -> {out}")
+    status = "complete" if not failures else f"FINISHED WITH FAILURES: {failures}"
+    print(f"\nshowcase {status} in {time.time() - t0:.0f}s -> {out}")
+    if failures:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
