@@ -28,6 +28,10 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="checkpoints/neural_wm.msgpack")
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--start_step", type=int, default=0,
+                    help="curriculum offset added to the step counter; use on "
+                         "--resume so the attack-severity ramp (wm_train.wm_loss) "
+                         "does not restart from zero")
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=500)
     args = ap.parse_args(argv)
@@ -63,7 +67,8 @@ def main(argv=None) -> None:
         wav = jnp.asarray(next(batches)[:, :t])
         key, km, kk = jax.random.split(key, 3)
         msg = jax.random.bernoulli(km, 0.5, (args.batch, cfg.n_bits)).astype(jnp.int32)
-        gen, det, opt, metrics = step_fn(gen, det, opt, wav, msg, kk, jnp.asarray(step))
+        gen, det, opt, metrics = step_fn(
+            gen, det, opt, wav, msg, kk, jnp.asarray(step + args.start_step))
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             m.update(step=step, wall=round(time.time() - t_start, 1))
