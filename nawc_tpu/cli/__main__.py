@@ -8,7 +8,7 @@ import sys
 COMMANDS = (
     "benchmark", "robustness", "manifold", "ablation", "uncertainty",
     "quality", "perturbation", "pgd", "stats", "watermark", "train_codec",
-    "train_wm", "eval_codec", "sample_data",
+    "train_wm", "train_gan", "eval_codec", "sample_data",
 )
 
 
