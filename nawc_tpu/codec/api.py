@@ -94,7 +94,11 @@ def _decode_latent(cfg: CodecConfig, params, z):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _encode(cfg: CodecConfig, params, wav):
-    return SnacCodec(cfg).apply(params, wav, method="encode")
+    from ..ops.rvq_fused import rvq_encode_fused
+
+    z = SnacCodec(cfg).apply(params, wav, method="encode_latent")
+    # fused multi-level RVQ kernel on TPU; identical unfused path elsewhere
+    return rvq_encode_fused(z, params, cfg.vq_strides)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,0 +1,64 @@
+"""Fused multi-level RVQ kernel: exactness vs the unfused module path, on
+the interpreter (CPU) including the padding paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nawc_tpu.codec import make_codec
+from nawc_tpu.ops.rvq_fused import (_rvq_encode_pallas, _l2n, level_params,
+                                    rvq_encode_fused, rvq_encode_reference)
+from nawc_tpu.utils.config import CodecConfig
+
+CFG = CodecConfig(
+    encoder_dim=8, encoder_rates=(2, 4, 8, 8), latent_dim=64,
+    decoder_dim=64, decoder_rates=(8, 8, 4, 2),
+    codebook_size=128, codebook_dim=8, vq_strides=(4, 2, 1),
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return make_codec(jax.random.PRNGKey(0), CFG, example_len=CFG.chunk)
+
+
+def test_reference_matches_module_path(codec):
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, CFG.chunk)).astype(np.float32)) * 0.1
+    z = codec.encode_latent(wav)
+    want = codec.encode(wav)
+    got = rvq_encode_reference(z, codec.params, CFG.vq_strides)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def _pack(params, strides):
+    ink, inb, outk, outb, cbn, cbr = [], [], [], [], [], []
+    for i in range(len(strides)):
+        k_, b_, ok_, ob_, cb_ = level_params(params, i)
+        ink.append(k_); inb.append(b_); outk.append(ok_); outb.append(ob_)
+        cbn.append(_l2n(cb_).T); cbr.append(cb_.T)
+    st = lambda xs: jnp.stack(xs)
+    return st(ink), st(inb), st(outk), st(outb), st(cbn), st(cbr)
+
+
+@pytest.mark.parametrize("t", [256, 320])  # tile-exact and padded
+def test_kernel_interpret_matches_reference(codec, t):
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(2, t, CFG.latent_dim)).astype(np.float32))
+    want = rvq_encode_reference(z, codec.params, CFG.vq_strides)
+    packed = _pack(codec.params, CFG.vq_strides)
+    got = _rvq_encode_pallas(z, *packed, tuple(CFG.vq_strides), interpret=True)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_wrapper_cpu_dispatch(codec):
+    z = jnp.asarray(np.random.default_rng(2).normal(size=(1, 64, CFG.latent_dim)).astype(np.float32))
+    got = rvq_encode_fused(z, codec.params, CFG.vq_strides)
+    want = rvq_encode_reference(z, codec.params, CFG.vq_strides)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
