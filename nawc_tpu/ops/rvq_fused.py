@@ -65,8 +65,10 @@ def rvq_encode_reference(z: jnp.ndarray, params, strides) -> list[jnp.ndarray]:
 
 def _fused_kernel(strides, k, z_ref, ink_ref, inb_ref, outk_ref, outb_ref,
                   cbn_ref, cbr_ref, *codes_refs):
-    bb = pl.program_id(0)
-    i = pl.program_id(1)
+    # one output row per grid step per level (dynamic-row writes into a
+    # full-array block are the Mosaic-supported pattern; dynamic LANE
+    # offsets must be 128-aligned, which tl=64 tiles are not)
+    row = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     res = z_ref[0]  # (TILE, Dp)
     for lvl, s in enumerate(strides):
         tl = _TILE // s
@@ -98,7 +100,7 @@ def _fused_kernel(strides, k, z_ref, ink_ref, inb_ref, outk_ref, outb_ref,
         if s > 1:
             out = jnp.repeat(out, s, axis=0)
         res = res - out
-        codes_refs[lvl][bb, pl.ds(i * tl, tl)] = codes
+        codes_refs[lvl][row, :] = codes
 
 
 @functools.partial(jax.jit, static_argnames=("strides", "interpret"))
@@ -131,10 +133,10 @@ def _rvq_encode_pallas(z, ink, inb, outk, outb, cbn, cbr, strides,
             full(nl, cbd, k),    # normalized-transposed codebooks (scores)
             full(nl, cbd, k),    # raw-transposed codebooks (dequantize)
         ],
-        # full-array output blocks, written by dynamic slice: a (1, tl)
-        # block would violate the (8, 128) min-tile rule for int32
-        out_specs=[full(b, tp // s) for s in strides],
-        out_shape=[jax.ShapeDtypeStruct((b, tp // s), jnp.int32) for s in strides],
+        # full-array output blocks, one row per (batch, tile) grid step —
+        # a (1, tl) block would violate the (8, 128) min-tile rule for int32
+        out_specs=[full(b * nt, _TILE // s) for s in strides],
+        out_shape=[jax.ShapeDtypeStruct((b * nt, _TILE // s), jnp.int32) for s in strides],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * sum((tp // s) * (d * cbn.shape[1] * 2 + cbn.shape[1] * k * 2) for s in strides),
@@ -142,7 +144,7 @@ def _rvq_encode_pallas(z, ink, inb, outk, outb, cbn, cbr, strides,
             transcendentals=0,
         ),
     )(z, ink, inb, outk, outb, cbn, cbr)
-    return [c[:, : t // s] for c, s in zip(codes, strides)]
+    return [c.reshape(b, tp // s)[:, : t // s] for c, s in zip(codes, strides)]
 
 
 def rvq_encode_fused(z: jnp.ndarray, params, strides,
