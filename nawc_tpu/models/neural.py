@@ -122,7 +122,15 @@ def decode_bits(logits: jnp.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class NeuralWM:
-    """Watermarker API wrapper over trained generator/detector params."""
+    """Watermarker API wrapper over trained generator/detector params.
+
+    Embed/detect run on windows of ``cfg.window`` samples (the training
+    length).  The generator's message pattern lives on its downsample
+    lattice (stride product 320): a detector read that is misaligned with
+    the embed lattice decodes bits at chance, so both sides chunk the
+    stream at the same window boundary (measured: aligned windows decode
+    1.00, offsets != 0 mod 320 decode ~0.5; see tests/test_neural_wm.py).
+    Presence is lattice-free and averages over everything."""
 
     cfg: NeuralWMConfig
     gen_params: Any
@@ -137,16 +145,44 @@ class NeuralWM:
     def n_bits(self) -> int:
         return self.cfg.n_bits
 
+    def _chunk(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        """(B, T) -> (B * nc, W) zero-padded windows."""
+        b, t = wav.shape
+        w = self.cfg.window
+        nc = max(1, -(-t // w))
+        wav = jnp.pad(wav, ((0, 0), (0, nc * w - t)))
+        return wav.reshape(b * nc, w), nc
+
     def embed(self, wav: jnp.ndarray, msg: jnp.ndarray, key=None) -> jnp.ndarray:
-        delta = WMGenerator(self.cfg).apply(self.gen_params, wav, msg)
-        return jnp.clip(wav + self.cfg.alpha * delta, -1.0, 1.0)
+        b, t = wav.shape
+        x, nc = self._chunk(wav)
+        msg_c = jnp.repeat(msg, nc, axis=0)
+        delta = WMGenerator(self.cfg).apply(self.gen_params, x, msg_c)
+        marked = jnp.clip(x + self.cfg.alpha * delta, -1.0, 1.0)
+        return marked.reshape(b, nc * self.cfg.window)[:, :t]
 
     def logits(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """Whole-input detector logits (B, T, 2+n) — lattice-anchored at 0;
+        the differentiable PGD surface and the presence path."""
         return WMDetector(self.cfg).apply(self.det_params, wav)
 
     def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        lg = self.logits(wav)
-        return presence_prob(lg), decode_bits(lg)
+        b, t = wav.shape
+        x, nc = self._chunk(wav)
+        lg = WMDetector(self.cfg).apply(self.det_params, x)  # (b*nc, W, 2+n)
+        # mask padding so silence in the final window doesn't vote
+        idx = jnp.arange(nc * self.cfg.window)[None, :]
+        valid = (idx < t).reshape(1, nc, self.cfg.window).reshape(nc, -1)
+        valid = jnp.tile(valid, (b, 1))[..., None]  # (b*nc, W, 1)
+        lg = lg * valid
+        n_valid = jnp.maximum(valid.sum(axis=(1, 2)), 1.0)[:, None]
+        pres = jax.nn.softmax(lg[..., :2], axis=-1)[..., 1]
+        pres = (pres * valid[..., 0]).reshape(b, -1).sum(-1) / jnp.maximum(
+            valid[..., 0].reshape(b, -1).sum(-1), 1.0)
+        # per-window mean bit logits, summed over windows (soft majority)
+        bl = lg[..., 2:].sum(axis=-2) / n_valid  # (b*nc, n)
+        bits = (bl.reshape(b, nc, -1).sum(axis=1) > 0).astype(jnp.int32)
+        return pres, bits
 
     def score(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:
         """AudioSeal semantic: mean presence prob (``watermark_testing.py:

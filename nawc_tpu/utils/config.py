@@ -115,6 +115,9 @@ class NeuralWMConfig:
     strides: Tuple[int, ...] = (2, 4, 5, 8)
     bottleneck_dim: int = 128
     alpha: float = 1.0
+    # embed/detect window (= training crop length): the message pattern is
+    # anchored to the generator's stride lattice, so both sides chunk here
+    window: int = 16_384
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,3 +79,31 @@ def test_train_step_learns(librispeech_16k):
     assert last["ce_marked"] < first["ce_marked"]
     assert last["ce_clean"] < first["ce_clean"]
     assert last["bit_acc"] > 0.55  # above chance and climbing
+
+
+def test_windowed_embed_detect_semantics(librispeech_16k):
+    """Embed/detect chunk the stream at cfg.window (the message pattern is
+    lattice-anchored per window — whole-clip reads at other offsets decode
+    at chance, measured in round 2).  Embed must equal per-window embeds
+    concatenated; detect must mask final-window padding."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, window=4000)
+    wm = init_neural_wm(jax.random.PRNGKey(0), cfg, example_len=4000)
+    gen = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * np.random.default_rng(0).normal(size=x.shape).astype(np.float32),
+        wm.gen_params,
+    )
+    wm = dataclasses.replace(wm, gen_params=gen)
+    wav = librispeech_16k[:1, :T]  # 8000 = 2 windows
+    msg = random_message(jax.random.PRNGKey(1), 1, cfg.n_bits)
+    marked = wm.embed(wav, msg)
+    assert marked.shape == wav.shape
+    w0 = wm.embed(wav[:, :4000], msg)
+    w1 = wm.embed(wav[:, 4000:], msg)
+    np.testing.assert_allclose(np.asarray(marked[:, :4000]), np.asarray(w0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(marked[:, 4000:]), np.asarray(w1), atol=1e-6)
+    # ragged final window: shapes still (B,), (B, n_bits); finite outputs
+    pres, bits = wm.detect(marked[:, :6500])
+    assert pres.shape == (1,) and bits.shape == (1, cfg.n_bits)
+    assert np.isfinite(np.asarray(pres)).all()
