@@ -186,11 +186,26 @@ def semantic_embed(
 
     opt = optax.adam(scfg.lr)
 
+    if scfg.lsd_weight > 0.0:
+        from ..dsp.stft import stft as _stft
+        from ..utils.config import StftConfig as _StftConfig
+
+        _shape_cfg = _StftConfig(1024, 256, 1024)
+        x_mag = jnp.abs(_stft(x, _shape_cfg)) + 1e-8
+
     def clip_loss(delta):
         perturbed = x + delta * mask
         proj = _projections(codec_cfg, params, perturbed, axis)  # (B, T')
         s = _pn(proj.shape[-1], scfg.pn_seed)  # T' static at trace time
-        return -jnp.sum(_zstat(proj, s, scfg.ma_window)) / 10.0
+        loss = -jnp.sum(_zstat(proj, s, scfg.ma_window)) / 10.0
+        if scfg.lsd_weight > 0.0:
+            # differentiable log-spectral distance to the clean clip: pushes
+            # the delta's energy under the content's own spectral envelope
+            p_mag = jnp.abs(_stft(perturbed, _shape_cfg)) + 1e-8
+            d = 20.0 * (jnp.log10(x_mag) - jnp.log10(p_mag))
+            loss = loss + scfg.lsd_weight * jnp.mean(
+                jnp.sqrt(jnp.mean(d * d, axis=-1) + 1e-9))
+        return loss
 
     grad_fn = jax.grad(clip_loss)
 

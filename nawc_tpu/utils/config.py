@@ -146,3 +146,7 @@ class SemanticWMConfig:
     ma_window: int = 9
     score_scale: float = 0.28
     cap_mult: float = 6.0
+    # spectral-shaping penalty weight: adds an LSD term to the embed
+    # objective so the perturbation hides under the content's spectrum
+    # instead of spending the whole SDR budget as broadband noise
+    lsd_weight: float = 0.0
