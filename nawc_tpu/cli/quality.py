@@ -36,6 +36,9 @@ def summarize_quality_dir(dir_: str) -> None:
             "pesq": df["pesq"].mean() if "pesq" in df else float("nan"),
             "stoi": df["stoi"].mean(),
         })
+    from ..eval.metrics import pesq_impl
+
+    rows = [{**r, "pesq_impl": pesq_impl()} for r in rows]
     if not rows:
         raise SystemExit(f"no *_quality_results.csv under {dir_}")
     out = pd.DataFrame(rows)

@@ -99,17 +99,43 @@ def stoi(ref: jnp.ndarray, est: jnp.ndarray, sample_rate: int = 16_000) -> jnp.n
 
 
 def pesq_host(ref: np.ndarray, est: np.ndarray, sample_rate: int) -> float:
-    """PESQ via the optional host `pesq` package (absent -> nan), mirroring
-    the reference's gated import (``evaluate_quality.py:11-18``)."""
+    """PESQ-wb, host-side (like the reference's gated import,
+    ``evaluate_quality.py:11-18``).  Prefers the real ITU `pesq` package
+    (resampling to 16 kHz wideband first — the package rejects other
+    rates); when it is not installed, falls back to the calibrated Bark
+    disturbance proxy (``eval/pesq_proxy.py``, accuracy note in
+    docs/metrics.md).  ``pesq_impl()`` reports which one is active."""
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    est = np.asarray(est, np.float64).reshape(-1)
     try:
         from pesq import pesq as _pesq  # type: ignore
-    except Exception:
-        return float("nan")
-    mode = "wb" if sample_rate == 16_000 else "nb"
+
+        from .pesq_proxy import _to_16k
+
+        try:
+            return float(
+                _pesq(16_000, _to_16k(ref, sample_rate), _to_16k(est, sample_rate), "wb")
+            )
+        except Exception:
+            return float("nan")
+    except ImportError:
+        pass
     try:
-        return float(_pesq(sample_rate, np.asarray(ref), np.asarray(est), mode))
+        from .pesq_proxy import pesq_proxy
+
+        return pesq_proxy(ref, est, sample_rate)
     except Exception:
         return float("nan")
+
+
+def pesq_impl() -> str:
+    """'itu' when the real `pesq` package is importable, else 'proxy'."""
+    try:
+        import pesq  # type: ignore  # noqa: F401
+
+        return "itu"
+    except ImportError:
+        return "proxy"
 
 
 @jax.jit

@@ -7,9 +7,9 @@ residual r (B, T, W) it per-bin whitens over time and correlates against the
 K secret PN patterns plus 6 time-rolled null variants (the self-calibration
 statistic, see ``models/spread_spectrum.py``).
 
-The XLA version materializes the whitened residual in HBM and runs 7
-separate einsums over it (one per pattern variant).  The kernel exploits a
-cancellation to do it in one pass:
+The naive math materializes the whitened residual in HBM and runs 7
+separate einsums over it (one per pattern variant).  Both fast paths here
+exploit a cancellation to collapse the whitening into a per-bin scaling:
 
   The PN patterns are time-centered (sum_t p[t, w] = 0 for every bin w, and
   a cyclic time-roll preserves that), so the per-bin mean subtraction and
@@ -17,10 +17,28 @@ cancellation to do it in one pass:
   correlation:  sum_tw ((r - mu_w - c) / s_w) p = sum_tw (r / s_w) p.
   Whitening therefore reduces to a per-bin SCALING by 1 / (std_w + 0.2).
 
-Per grid step (b, j) the kernel computes the scaled residual once (at j==0,
-kept in VMEM scratch across the j steps), then one MXU contraction against
-pattern variant j.  The whitened residual never touches HBM and the 7
-passes collapse into one.
+Two implementations share that identity:
+
+* ``_whiten_correlate_xla``: scale, then ONE flattened (B, T*W) x (T*W, 7K)
+  matmul.  XLA tiles it straight onto the MXU; this is the single-pass
+  einsum collapse with no custom kernel.
+* ``_whiten_correlate_pallas``: a Pallas kernel that keeps the scaled
+  residual tile in VMEM and contracts it against each pattern variant
+  without the residual ever round-tripping through HBM.  The time axis is
+  tiled across the grid, so any clip length fits (no VMEM budget fallback).
+
+Mosaic note (round-3 fix): the previous kernel reduced a (K, T, W) product
+over axes (1, 2) with one ``jnp.sum`` — Mosaic rejects that
+``vector.multi_reduction`` ("Invalid output layout").  The kernel now
+expresses the double contraction as two MXU matmuls with no vector
+reductions at all:
+
+  y   = reshape(p * rs, (K*TT, W)) @ ones(W, 128)     # W contraction
+  blk = select(K, K*TT) @ y                           # T contraction
+        where select[k, j] = (j // TT == k)
+
+yielding a (K, 128) block of lane-broadcast scalars that accumulates over
+time tiles directly in the output block.
 """
 
 from __future__ import annotations
@@ -33,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_VMEM_PATTERN_BUDGET = 8 * 1024 * 1024  # bytes; above this fall back to jnp
+_T_TILE = 128  # frames per grid step; K*_T_TILE*Wpad*4 bytes of pattern VMEM
 
 
 def _center_time(p: jnp.ndarray) -> jnp.ndarray:
@@ -62,25 +80,78 @@ def whiten_correlate_reference(
     return corr / (sigma[:, None] + 1e-8)
 
 
-def _kernel(t_true: int, r_ref, p_ref, out_ref, rs_ref):
-    b, j = pl.program_id(0), pl.program_id(1)
+def _pattern_stack(p: jnp.ndarray, null_offsets: tuple[int, ...]) -> jnp.ndarray:
+    """(K, T, W) -> (NV, K, T, W): variant 0 = true time-centered patterns,
+    1.. = cyclic time rolls (roll preserves the time-centering the
+    whitening cancellation depends on)."""
+    pc = _center_time(p)
+    return jnp.stack([pc] + [jnp.roll(pc, o, axis=-2) for o in null_offsets])
 
-    @pl.when(j == 0)
+
+def _scale_shift(r: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, T, W) -> per-bin whitening scale 1/(std_t + 0.2) and scaled mean
+    mu_t * scale, both (B, 1, W).  Centering does not change the correlation
+    (patterns are time-centered) but keeps the f32 summands small."""
+    mu = jnp.mean(r, axis=-2, keepdims=True)
+    sd = jnp.std(r, axis=-2, keepdims=True)
+    scale = 1.0 / (sd + 0.2)
+    return scale, mu * scale
+
+
+def _calibrate(corr_all: jnp.ndarray) -> jnp.ndarray:
+    """(B, NV, K) variant correlations -> (B, K) z statistics."""
+    corr, nulls = corr_all[:, 0], corr_all[:, 1:]
+    sigma = jnp.sqrt(jnp.mean(nulls**2, axis=(-2, -1)))
+    return corr / (sigma[:, None] + 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("null_offsets",))
+def _whiten_correlate_xla(
+    r: jnp.ndarray, p: jnp.ndarray, null_offsets: tuple[int, ...]
+) -> jnp.ndarray:
+    """Cancellation-based single-matmul path (mathematically identical to
+    the reference; see module docstring)."""
+    pstack = _pattern_stack(p, null_offsets)
+    scale, shift = _scale_shift(r)
+    rs = r * scale - shift
+    corr_all = jnp.einsum("btw,jktw->bjk", rs, pstack)
+    return _calibrate(corr_all)
+
+
+def _kernel(r_ref, s_ref, m_ref, p_ref, out_ref):
+    nt = pl.program_id(2)
+    # centered scaling; padded T rows give rs = -shift but the zero-padded
+    # patterns annihilate them in the product
+    rs = r_ref[0] * s_ref[0] - m_ref[0]  # (TT, WP) * (1, WP) broadcast
+    prod = p_ref[0] * rs[None]  # (KP, TT, WP)
+    kp, tt, wp = prod.shape
+    # W contraction on the MXU: every row of prod dotted with ones
+    y = jax.lax.dot_general(
+        prod.reshape(kp * tt, wp),
+        jnp.ones((wp, _LANE), jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (KP*TT, LANE), each row the per-(k, t) partial broadcast over lanes
+    # T contraction on the MXU: block-selector matmul sums each k's TT rows
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kp, kp * tt), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (kp, kp * tt), 1)
+    sel = (cols // tt == rows).astype(jnp.float32)
+    blk = jax.lax.dot_general(
+        sel,
+        y,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (KP, LANE) lane-broadcast scalars
+
+    @pl.when(nt == 0)
     def _():
-        # per-bin scale from time statistics; padded rows/bins are zero and
-        # contribute nothing (sums unchanged, scaled residual stays 0)
-        r = r_ref[0]
-        mu = jnp.sum(r, axis=0, keepdims=True) / t_true
-        ms = jnp.sum(r * r, axis=0, keepdims=True) / t_true
-        sd = jnp.sqrt(jnp.maximum(ms - mu * mu, 0.0))
-        rs_ref[:] = r * pl.reciprocal(sd + 0.2, approx=False)
+        out_ref[0, 0] = blk
 
-    # (K, T, W) x (T, W) contraction; K is tiny (<= 16) so the VPU
-    # multiply+reduce is the right unit — the win is the single fused pass,
-    # not MXU occupancy
-    k = p_ref.shape[1]
-    corr = jnp.sum(p_ref[0] * rs_ref[:][None, :, :], axis=(1, 2))  # (K,)
-    out_ref[b, pl.ds(j * _LANE, _LANE)] = jnp.pad(corr, (0, _LANE - k))
+    @pl.when(nt != 0)
+    def _():
+        out_ref[0, 0] += blk
 
 
 @functools.partial(jax.jit, static_argnames=("null_offsets", "interpret"))
@@ -92,41 +163,50 @@ def _whiten_correlate_pallas(
 ) -> jnp.ndarray:
     b, t, w = r.shape
     k = p.shape[0]
-    assert k <= _LANE, "pattern count exceeds one lane tile"
-    pc = _center_time(p)
-    # variant 0 = true patterns, 1.. = time-rolled nulls (roll preserves the
-    # time-centering the cancellation depends on)
-    pstack = jnp.stack([pc] + [jnp.roll(pc, o, axis=-2) for o in null_offsets])
+    pstack = _pattern_stack(p, null_offsets)
     nv = pstack.shape[0]
+    s, m = _scale_shift(r)  # (B, 1, W) from TRUE-length stats, before padding
 
-    bp = -(-b // 8) * 8  # sublane-align the output rows
-    tp = -(-t // 8) * 8
-    wpad = -(-w // _LANE) * _LANE
-    r = jnp.pad(r, ((0, bp - b), (0, tp - t), (0, wpad - w)))
-    pstack = jnp.pad(pstack, ((0, 0), (0, 0), (0, tp - t), (0, wpad - w)))
+    kp = -(-k // 8) * 8
+    tp = -(-t // _T_TILE) * _T_TILE
+    wp = -(-w // _LANE) * _LANE
+    # zero padding is exact: padded rows/bins/patterns contribute 0 terms
+    r = jnp.pad(r, ((0, 0), (0, tp - t), (0, wp - w)))
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, wp - w)))
+    m = jnp.pad(m, ((0, 0), (0, 0), (0, wp - w)))
+    pstack = jnp.pad(pstack, ((0, 0), (0, kp - k), (0, tp - t), (0, wp - w)))
+    nt = tp // _T_TILE
 
     out = pl.pallas_call(
-        functools.partial(_kernel, t),
-        out_shape=jax.ShapeDtypeStruct((bp, nv * _LANE), jnp.float32),
-        grid=(bp, nv),
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nv, kp, _LANE), jnp.float32),
+        grid=(b, nv, nt),
         in_specs=[
-            pl.BlockSpec((1, tp, wpad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tp, wpad), lambda i, j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _T_TILE, wp), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, wp), lambda i, j, n: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wp), lambda i, j, n: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, kp, _T_TILE, wp),
+                lambda i, j, n: (j, 0, n, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=pl.BlockSpec((bp, nv * _LANE), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tp, wpad), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (1, 1, kp, _LANE), lambda i, j, n: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bp * nv * k * tp * wpad,
-            bytes_accessed=(bp + nv * k) * tp * wpad * 4 + bp * nv * _LANE * 4,
+            flops=2 * b * nv * (kp * tp * wp * _LANE + kp * kp * tp * _LANE) ,
+            bytes_accessed=(b * nv * (tp * wp) + nv * kp * tp * wp) * 4
+            + b * nv * kp * _LANE * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(r, pstack)
+    )(r, s, m, pstack)
 
-    out = out.reshape(bp, nv, _LANE)[:b, :, :k]  # (B, 1+nulls, K)
-    corr, nulls = out[:, 0], out[:, 1:]
-    sigma = jnp.sqrt(jnp.mean(nulls**2, axis=(-2, -1)))
-    return corr / (sigma[:, None] + 1e-8)
+    corr_all = out[:, :, :k, 0]  # (B, NV, K)
+    return _calibrate(corr_all)
 
 
 def whiten_correlate(
@@ -141,17 +221,15 @@ def whiten_correlate(
       r: (B, T, W) band residual (log-magnitude minus spectral envelope).
       p: (K, T, W) +-1 PN patterns, already tiled to T frames.
       null_offsets: static frame rolls whose correlations sample the null.
-      use_pallas: force kernel on/off; default = on iff running on TPU and
-        the pattern block fits the VMEM budget.
+      use_pallas: force kernel on/off; default = on iff running on TPU.
+        When off (CPU / forced), the cancellation-based single-matmul XLA
+        path is used; ``whiten_correlate_reference`` stays the test oracle.
 
     Returns:
       (B, K) z statistics, ~N(0, 1) per bit on unmarked audio.
     """
     if use_pallas is None:
-        k, t, w = p.shape
-        tp, wpad = -(-t // 8) * 8, -(-w // _LANE) * _LANE
-        fits = k * tp * wpad * 4 <= _VMEM_PATTERN_BUDGET
-        use_pallas = jax.default_backend() == "tpu" and fits
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return _whiten_correlate_pallas(r, p, tuple(null_offsets))
-    return whiten_correlate_reference(r, p, tuple(null_offsets))
+    return _whiten_correlate_xla(r, p, tuple(null_offsets))

@@ -13,7 +13,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def _local_lookup(z: jnp.ndarray, cb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -44,11 +43,11 @@ def tp_nearest_codebook(z: jnp.ndarray, codebook: jnp.ndarray, mesh: Mesh) -> jn
         win = jnp.argmax(scores, axis=0)  # (N,)
         return jnp.take_along_axis(idxs, win[None, :], axis=0)[0]
 
-    fn = shard_map(
+    fn = jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P("data", None), P("model", None)),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(z, codebook)

@@ -50,12 +50,20 @@ def hamming_encode(data: jnp.ndarray) -> jnp.ndarray:
 
 
 def _all_codewords() -> np.ndarray:
-    """(256, 12) codeword table enumerated by data byte (big-endian bits)."""
+    """(256, 12) codeword table enumerated by data byte (big-endian bits).
+
+    Pure numpy: module import must not dispatch device ops (the axon TPU
+    backend makes import-time jnp calls remote serial compiles)."""
     bytes_ = np.arange(256)
     data = (bytes_[:, None] >> np.arange(7, -1, -1)) & 1  # (256, 8)
-    import jax.numpy as _jnp  # local to avoid tracing at import
-
-    return np.asarray(hamming_encode(_jnp.asarray(data, _jnp.int32)))
+    cw = np.zeros((256, _N), np.int32)
+    for i, pos in enumerate(_DATA_POS):
+        cw[:, pos - 1] = data[:, i]
+    for r, ppos in enumerate(_PARITY_POS):
+        mask = _H[r].copy()
+        mask[ppos - 1] = 0
+        cw[:, ppos - 1] = (cw * mask).sum(axis=-1) % 2
+    return cw
 
 
 _CODEWORDS = _all_codewords()

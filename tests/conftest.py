@@ -9,19 +9,26 @@ Note: the axon TPU shim registers its PJRT backend at interpreter start
 
 import os
 
+# NAWC_TPU_TESTS=1 keeps the live TPU backend so the hardware exactness
+# tests (test_*_on_tpu) actually run on the chip:
+#   NAWC_TPU_TESTS=1 pytest tests/ -k on_tpu
+_USE_TPU = os.environ.get("NAWC_TPU_TESTS", "") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-assert jax.default_backend() == "cpu"
-assert len(jax.devices()) == 8
+if not _USE_TPU:
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
 
 
 @pytest.fixture(scope="session")

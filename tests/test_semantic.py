@@ -91,3 +91,17 @@ def test_wrapper_detect_separation(codec, wav):
     assert bits.shape == (wav.shape[0], 0)
     assert (np.asarray(p_marked) > np.asarray(p_clean)).all()
     assert wm.name == "SemanticCluster"
+
+
+def test_pn_prefix_stable_and_pinned():
+    """Length-robust detection depends on threefry random_bits being
+    prefix-stable in the shape argument (ADVICE r2: an implementation
+    detail, not an API guarantee).  Pin it: a PRNG change fails here
+    loudly instead of silently breaking variable-length detect."""
+    from nawc_tpu.models.semantic import _pn
+
+    long = np.asarray(_pn(200, 42))
+    short = np.asarray(_pn(50, 42))
+    np.testing.assert_array_equal(long[:50], short)
+    golden = [1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1]
+    np.testing.assert_array_equal(long[:16].astype(int), golden)

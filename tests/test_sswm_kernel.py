@@ -62,7 +62,23 @@ def test_detector_statistics_unchanged(librispeech_16k):
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU")
 def test_kernel_compiled_on_tpu():
-    r, p = _case()
-    ref = whiten_correlate_reference(r, p, _OFFS)
-    got = _whiten_correlate_pallas(r, p, _OFFS)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-2)
+    """Hardware exactness at the showcase (2 s), bench (4 s), and odd
+    shapes that previously MosaicError'd (VERDICT r2 #1).  Run via
+    NAWC_TPU_TESTS=1 pytest -k on_tpu."""
+    for b, t, w, k in [(16, 126, 367, 16), (16, 376, 367, 16), (3, 77, 130, 16)]:
+        r, p = _case(b=b, t=t, w=w, k=k)
+        ref = whiten_correlate_reference(r, p, _OFFS)
+        got = _whiten_correlate_pallas(r, p, _OFFS)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-2)
+
+
+def test_xla_fast_path_matches_reference():
+    """The cancellation-based single-matmul path is mathematically
+    identical to the whiten-then-correlate reference."""
+    from nawc_tpu.ops.sswm import _whiten_correlate_xla
+
+    for seed in range(3):
+        r, p = _case(b=4, t=130, w=200, k=16, seed=seed)
+        ref = whiten_correlate_reference(r, p, _OFFS)
+        got = _whiten_correlate_xla(r, p, _OFFS)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
