@@ -28,27 +28,37 @@ AttackFn = Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
 
 def build_suite(sr: int = 16_000, codec=None) -> dict[str, AttackFn]:
     """Named attack suite at sample rate `sr`.  `codec` (CodecState) enables
-    the neural-codec round-trip entries (encodec/dac)."""
+    the neural-codec round-trip entries (encodec/dac).
+
+    Severities are anchored to the reference benchmark's measured
+    per-attack distortion (`sisnr_attack_mean` in
+    ``outputs/audioseal_stats_loose/stats_by_attack.csv``, corroborated by
+    the silentcipher/wavmark tables) — round 2 shipped a suite that was
+    10-36 dB HARSHER than the reference on noise/quantization/compression,
+    which made cross-table survival comparisons meaningless.  Measured
+    match of this suite vs the anchors: docs/surrogates.md."""
     suite: dict[str, AttackFn] = {
         "identity": lambda w, k: w,
-        "gain": lambda w, k: dsp.gain(w, 2.0),
-        "polarity": lambda w, k: dsp.polarity(w),
-        "gaussian_noise": lambda w, k: dsp.gaussian_noise(w, k, snr_db=40.0),
-        "background_noise": lambda w, k: dsp.background_noise(w, k, snr_db=25.0),
-        "lowpass": lambda w, k: dsp.lowpass(w, 3500.0, sr),
-        "highpass": lambda w, k: dsp.highpass(w, 500.0, sr),
-        "eq": lambda w, k: dsp.eq(w, k, sr),
-        "quantization": lambda w, k: dsp.quantization(w, 8),
-        "dynamic_range_compression": lambda w, k: dsp.dynamic_range_compression(w),
-        "dynamic_range_expansion": lambda w, k: dsp.dynamic_range_expansion(w),
-        "limiter": lambda w, k: dsp.limiter(w),
-        "phase_shift": lambda w, k: dsp.phase_shift(w),
-        "time_jitter": lambda w, k: dsp.time_jitter(w, k, 2.0, sr),
-        "time_stretch": lambda w, k: dsp.time_stretch(w, 950),
-        "reverb": lambda w, k: dsp.reverb(w, k, 300.0, sr),
-        "mp3": lambda w, k: dsp.mp3(w, sr),
-        "aac": lambda w, k: dsp.aac(w, sr),
-        "vorbis": lambda w, k: dsp.vorbis(w, sr),
+        "gain": lambda w, k: dsp.gain(w, 2.0),  # anchor 81.6 (scale-inv)
+        "polarity": lambda w, k: dsp.polarity(w),  # anchor 90.3
+        "gaussian_noise": lambda w, k: dsp.gaussian_noise(w, k, snr_db=51.0),  # 51.2
+        "background_noise": lambda w, k: dsp.background_noise(w, k, snr_db=47.0),  # 46.9
+        "lowpass": lambda w, k: dsp.lowpass(w, 5000.0, sr),  # 24.4
+        "highpass": lambda w, k: dsp.highpass(w, 650.0, sr),  # 2.2
+        "eq": lambda w, k: dsp.eq(w, k, sr, depth_db=10.0),  # 11.5
+        "quantization": lambda w, k: dsp.quantization(w, 14),  # 63.4
+        "dynamic_range_compression": lambda w, k: dsp.dynamic_range_compression(
+            w, thresh_db=-18.0, ratio=2.0
+        ),  # 35.2
+        "dynamic_range_expansion": lambda w, k: dsp.dynamic_range_expansion(w),  # 26.2
+        "limiter": lambda w, k: dsp.limiter(w, 0.27),  # 21.5
+        "phase_shift": lambda w, k: dsp.phase_shift(w, 1.498),  # -22.8
+        "time_jitter": lambda w, k: dsp.time_jitter(w, k, 0.008, sr),  # 32.9
+        "time_stretch": lambda w, k: dsp.time_stretch(w, 9999),  # -2.1
+        "reverb": lambda w, k: dsp.reverb(w, k, 300.0, sr, wet=0.3),  # 9.3
+        "mp3": lambda w, k: dsp.mp3(w, sr),  # 30.5
+        "aac": lambda w, k: dsp.aac(w, sr),  # ~-29
+        "vorbis": lambda w, k: dsp.vorbis(w, sr),  # 19.6
     }
     if codec is not None:
         suite["encodec"] = lambda w, k: codec_roundtrip(codec, w, in_sr=sr)

@@ -34,17 +34,20 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, T) waveform -> (B, T/hop, latent_dim) latents."""
+        """(B, T) waveform -> (B, T/hop, latent_dim) latents (f32 out;
+        compute in cfg.compute_dtype, bfloat16 by default on the inference
+        path — halves MXU cost + activation HBM traffic)."""
         cfg = self.cfg
-        h = x[..., None]  # NWC
-        h = nn.Conv(cfg.encoder_dim, (7,), padding="SAME")(h)
+        dt = cfg.compute_jnp_dtype
+        h = x[..., None].astype(dt)  # NWC
+        h = nn.Conv(cfg.encoder_dim, (7,), padding="SAME", dtype=dt)(h)
         dim = cfg.encoder_dim
         for rate in cfg.encoder_rates:
             dim *= 2
-            h = EncoderBlock(dim, rate)(h)
-        h = Snake()(h)
-        h = nn.Conv(cfg.latent_dim, (3,), padding="SAME")(h)
-        return h
+            h = EncoderBlock(dim, rate, dtype=dt)(h)
+        h = Snake(dtype=dt)(h)
+        h = nn.Conv(cfg.latent_dim, (3,), padding="SAME", dtype=dt)(h)
+        return h.astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -54,12 +57,13 @@ class Decoder(nn.Module):
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         """(B, T/hop, latent_dim) -> (B, T) waveform in [-1, 1]."""
         cfg = self.cfg
-        h = nn.Conv(cfg.decoder_dim, (7,), padding="SAME")(z)
+        dt = cfg.compute_jnp_dtype
+        h = nn.Conv(cfg.decoder_dim, (7,), padding="SAME", dtype=dt)(z.astype(dt))
         dim = cfg.decoder_dim
         for rate in cfg.decoder_rates:
             dim //= 2
-            h = DecoderBlock(dim, rate, use_noise=False)(h)
-        h = Snake()(h)
+            h = DecoderBlock(dim, rate, use_noise=False, dtype=dt)(h)
+        h = Snake(dtype=dt)(h)
         # zero-init the output projection: the deep snake/conv stack has
         # large activations at init, and a default-init final conv rails the
         # tanh at +-1 (dead gradients); starting at tanh(0)=0 keeps the

@@ -51,8 +51,14 @@ class PsychoacousticWM:
     n_symbols: int = 5
     bits_per_symbol: int = 8
     seed: int = 2
-    # 60 coded bits need per-bit z >~ 3 and SEC absorbs stragglers
-    alpha: float = 0.12
+    # 60 coded bits need per-bit z >~ 3 and SEC absorbs stragglers.
+    # alpha 0.22 + level-mask q=0.85 is the round-3 operating point
+    # (scripts/scratch/tune_psy4.py): SI-SNR 40.1 dB / LSD 1.08, clean
+    # exact-match 1.00, 19-attack survival 0.90 on the anchored suite —
+    # the mask spares the top-15% loudest TF bins (~99% of residual
+    # energy) so the modulation rides where speech masks it.
+    alpha: float = 0.22
+    mask_quantile: float = 0.85
     ecc: bool = True
     name: str = "psychoacoustic"
 
@@ -70,6 +76,7 @@ class PsychoacousticWM:
             band_lo_hz=800.0,
             band_hi_hz=10_000.0,
             alpha=self.alpha,
+            mask_quantile=self.mask_quantile,
         )
 
     @property

@@ -85,6 +85,25 @@ def _tile_patterns(p: jnp.ndarray, t: int) -> jnp.ndarray:
     return jnp.tile(p, (1, reps, 1))[:, :t]
 
 
+def _level_mask(band_logmag: jnp.ndarray, cfg: SpreadSpectrumConfig) -> jnp.ndarray:
+    """(…, T, W) band log-magnitude -> soft mask in (0, 1] sparing the
+    loudest bins (see SpreadSpectrumConfig.mask_quantile).  Computed from
+    whatever audio is at hand — embed uses the clean spectrum, detect the
+    received one; the per-clip quantile makes it level-invariant, so both
+    sides agree on (almost) the same cells without sharing state."""
+    if cfg.mask_quantile <= 0.0 and cfg.mask_lo_quantile <= 0.0:
+        return jnp.ones_like(band_logmag)
+    flat = band_logmag.reshape(band_logmag.shape[:-2] + (-1,))
+    w = jnp.ones_like(band_logmag)
+    if cfg.mask_quantile > 0.0:
+        tau = jnp.quantile(flat, cfg.mask_quantile, axis=-1)[..., None, None]
+        w = w * jax.nn.sigmoid((tau - band_logmag) / cfg.mask_softness)
+    if cfg.mask_lo_quantile > 0.0:
+        tau_lo = jnp.quantile(flat, cfg.mask_lo_quantile, axis=-1)[..., None, None]
+        w = w * jax.nn.sigmoid((band_logmag - tau_lo) / cfg.mask_softness)
+    return w
+
+
 def _freq_smooth(logmag: jnp.ndarray, width: int = 15) -> jnp.ndarray:
     """Moving-average over the frequency axis (spectral envelope estimate)."""
     kernel = jnp.ones((width,), logmag.dtype) / width
@@ -138,10 +157,11 @@ class SpreadSpectrumWM:
         s = 2.0 * msg.astype(jnp.float32) - 1.0  # (B, n_bits)
         mod = jnp.einsum("bk,ktw->btw", s, p) / jnp.sqrt(float(cfg.n_bits))
         want = cfg.alpha * jnp.clip(mod, -3.0, 3.0)  # target log-mag delta
+        log_clean = jnp.log(jnp.abs(spec_clean) + 1e-6)
+        want = want * _level_mask(log_clean[..., lo:hi], cfg)
 
         gain = jnp.ones_like(spec_clean.real).at[..., lo:hi].add(want)
         marked = istft(spec_clean * gain, self.stft_cfg, length=wav.shape[-1])
-        log_clean = jnp.log(jnp.abs(spec_clean) + 1e-6)
         for _ in range(self.n_passes - 1):
             # re-apply the modulation the overlap-add resynthesis lost
             sm = stft(marked, self.stft_cfg)
@@ -167,6 +187,9 @@ class SpreadSpectrumWM:
         p = _tile_patterns(self._patterns(), t)  # (n_bits, T', W)
         logmag = jnp.log(jnp.abs(spec) + 1e-6)
         r = (logmag - _freq_smooth(logmag))[..., lo:hi]  # (B, T', W)
+        # matched weighting: the embed spared the loudest bins, so they
+        # carry no signal — down-weight them instead of letting them dilute
+        r = r * _level_mask(logmag[..., lo:hi], self.cfg)
         return whiten_correlate(r, p, _NULL_OFFSETS)
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -184,6 +207,7 @@ class SpreadSpectrumWM:
         spec = stft(wav, self.stft_cfg)
         logmag = jnp.log(jnp.abs(spec) + 1e-6)
         r = (logmag - _freq_smooth(logmag))[..., lo:hi]
+        r = r * _level_mask(logmag[..., lo:hi], self.cfg)
         mu = jnp.mean(r, axis=-2, keepdims=True)
         sd = jnp.std(r, axis=-2, keepdims=True)
         r = (r - mu) / (sd + 0.2)

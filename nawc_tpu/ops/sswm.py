@@ -39,6 +39,13 @@ reductions at all:
 
 yielding a (K, 128) block of lane-broadcast scalars that accumulates over
 time tiles directly in the output block.
+
+Measured on the v5e (B=16, K=16, W=367, f32, HIGHEST precision): 2 s clips
+(T=126) pallas 1.5 ms / xla 0.6 ms; 4 s (T=376) pallas 3.0 ms / xla 0.9 ms;
+max |z| deviation vs the reference math 7e-3 (pallas, summation order) and
+4e-5 (xla).  The op is 1-3%% of the embed+encode+detect pipeline; the
+kernel is the TPU default (single fused pass), the XLA path serves CPU and
+``use_pallas=False``.
 """
 
 from __future__ import annotations

@@ -50,6 +50,12 @@ class CodecConfig:
     """
 
     sample_rate: int = 24_000
+    # conv compute dtype ("bfloat16" | "float32"): params are stored f32;
+    # bf16 halves MXU cost and activation HBM traffic.  Default f32 keeps
+    # training and gradient-through-encoder paths (semantic embeds) exact;
+    # pure-inference paths (bench.py, runtime serving) opt into bf16
+    # (code agreement / quality deltas pinned in tests/test_codec.py).
+    compute_dtype: str = "float32"
     encoder_dim: int = 48
     encoder_rates: Tuple[int, ...] = (2, 4, 8, 8)
     latent_dim: int = 768
@@ -59,6 +65,12 @@ class CodecConfig:
     codebook_dim: int = 8
     vq_strides: Tuple[int, ...] = (4, 2, 1)
     noise_decoder: bool = True
+
+    @property
+    def compute_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def hop(self) -> int:
@@ -98,6 +110,19 @@ class SpreadSpectrumConfig:
     band_lo_hz: float = 400.0
     band_hi_hz: float = 6_000.0
     alpha: float = 0.06  # embedding strength relative to band magnitude
+    # level-adaptive masking: spare the loudest TF bins.  Multiplicative
+    # modulation puts residual ENERGY where |X| is large, but the whitened
+    # detector weighs all bins ~equally — on speech the top 15% loudest
+    # band bins carry ~99% of the residual energy (scripts/scratch/
+    # energy_skew.py), so excluding them buys ~20 dB SI-SNR for ~15% of
+    # detection cells.  mask_quantile=0 disables (legacy behavior);
+    # mask_softness is in log-magnitude nats.  mask_lo_quantile also
+    # excludes near-silent bins: under additive noise the log-magnitude of
+    # a bin with |X| below the noise floor is the noise's — the watermark
+    # there is erased, so embedding in them buys nothing but LSD.
+    mask_quantile: float = 0.0
+    mask_lo_quantile: float = 0.0
+    mask_softness: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

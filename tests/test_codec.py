@@ -164,3 +164,33 @@ def test_revive_dead_codes():
     d = np.linalg.norm(after[8:, None, :] - after[None, :8, :], axis=-1).min(axis=1)
     scale = np.abs(before[:8]).mean()
     assert (d < 2.0 * scale * np.sqrt(CFG.codebook_dim)).all()
+
+
+def test_bf16_compute_matches_f32(librispeech_16k):
+    """bfloat16 conv compute (the inference default in bench/serving) must
+    agree with f32: near-identical codes and waveform-level roundtrip."""
+    import dataclasses
+
+    from nawc_tpu.dsp import resample
+
+    cfg32 = CFG
+    cfg16 = dataclasses.replace(CFG, compute_dtype="bfloat16")
+    codec32 = make_codec(jax.random.PRNGKey(0), cfg32, example_len=CFG.chunk)
+    codec16 = dataclasses.replace(
+        make_codec(jax.random.PRNGKey(0), cfg16, example_len=CFG.chunk),
+        params=codec32.params,
+    )
+    wav = resample(librispeech_16k[:2], 16_000, 24_000)[:, : 2 * CFG.chunk]
+    c32 = codec32.encode(wav)
+    c16 = codec16.encode(wav)
+    agree = np.mean(
+        [np.mean(np.asarray(a) == np.asarray(b)) for a, b in zip(c32, c16)]
+    )
+    assert agree > 0.95, f"bf16 code agreement {agree}"
+    y32 = codec32.decode(c32)
+    y16 = codec16.decode(c32)
+    # decoded waveforms track each other far more tightly than either
+    # tracks the input (quantization dominates dtype noise)
+    diff = float(jnp.sqrt(jnp.mean((y32 - y16) ** 2)))
+    scale = float(jnp.sqrt(jnp.mean(y32**2))) + 1e-9
+    assert diff / scale < 0.1, f"bf16 decode rel-rms {diff / scale}"
