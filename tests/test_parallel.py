@@ -78,6 +78,38 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_sharded_eval_pipeline_matches_unsharded():
+    """embed -> codec-roundtrip -> detect partitioned over "data" (8 devices)
+    == the single-device run (VERDICT r2 #8: the EVAL path, not just the
+    train step, exercised multi-device)."""
+    from nawc_tpu.attacks.codec import codec_roundtrip
+    from nawc_tpu.codec import make_codec
+    from nawc_tpu.models import SpreadSpectrumWM
+    from nawc_tpu.parallel.eval import make_sharded_eval
+    from nawc_tpu.utils.config import SpreadSpectrumConfig
+
+    codec = make_codec(jax.random.PRNGKey(0), CFG)
+    wm = SpreadSpectrumWM(cfg=SpreadSpectrumConfig(
+        sample_rate=CFG.sample_rate, band_hi_hz=9000.0, alpha=0.1))
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.normal(size=(8, 2 * CFG.chunk)).astype(np.float32) * 0.1)
+    msg = jnp.asarray(rng.integers(0, 2, (8, wm.n_bits)), jnp.int32)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    run = make_sharded_eval(codec, wm, mesh)
+    marked_s, attacked_s, presence_s, bits_s = run(wav, msg)
+    assert len(presence_s.sharding.device_set) == 8
+    assert marked_s.sharding.spec[0] == "data"
+
+    marked = wm.embed(wav, msg)
+    attacked = codec_roundtrip(codec, marked, in_sr=wm.sample_rate)
+    presence, bits = wm.detect(attacked)
+    np.testing.assert_allclose(np.asarray(marked_s), np.asarray(marked), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attacked_s), np.asarray(attacked), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(presence_s), np.asarray(presence), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(bits_s), np.asarray(bits))
+
+
 def test_sharding_helpers():
     mesh = make_mesh(n_data=8)
     ds = data_sharding(mesh, 3)
