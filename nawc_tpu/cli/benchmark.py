@@ -15,6 +15,22 @@ from pathlib import Path
 import jax
 
 
+def _error_only_methods(df, requested) -> list[str]:
+    """Methods whose every result row is an ERROR row.  The benchmark must
+    fail loudly instead of committing error CSVs as parity evidence
+    (ADVICE r2: round-2's MosaicError rows shipped silently)."""
+    if "error" not in df.columns:
+        return []
+    bad = []
+    for name in requested:
+        sub = df[df.watermark == name]
+        if len(sub) and sub["error"].notna().all():
+            print(f"[benchmark] FATAL: every row for {name!r} is an ERROR row; "
+                  f"first error: {sub['error'].iloc[0]}")
+            bad.append(name)
+    return bad
+
+
 def main(argv=None) -> None:
     from .common import DEFAULT_AUDIO_GLOB, WM_CHOICES, build_watermarkers, load_audio_batch, load_codec
 
@@ -92,6 +108,8 @@ def main(argv=None) -> None:
                         for r, g in groups.items()], ignore_index=True)
         df.to_csv(out / "detector_checker_results.csv", index=False)
         print(df.groupby("watermark")["detector_works"].mean())
+        if _error_only_methods(df, wms):
+            raise SystemExit(2)
     elif args.mode == "benchmark":
         dfs = []
         for r, g in groups.items():
@@ -103,6 +121,8 @@ def main(argv=None) -> None:
         df.to_csv(out / "qwen_benchmark_results.csv", index=False)
         plot_survival_bars(df, out / "survival_rates.png")
         print(df[df.clip_index >= 0].groupby(["watermark", "attack"])["survived"].mean())
+        if _error_only_methods(df, wms):
+            raise SystemExit(2)
     else:
         pers, summs = [], []
         for r, g in groups.items():
@@ -117,6 +137,8 @@ def main(argv=None) -> None:
         per_method.to_csv(out / "combined_results.csv", index=False)
         summary.to_csv(out / "threshold_summary.csv", index=False)
         print(summary.to_string(index=False))
+        if _error_only_methods(per_method, wms):
+            raise SystemExit(2)
 
     if args.artifacts:
         import numpy as np

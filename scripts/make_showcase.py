@@ -80,6 +80,12 @@ def main() -> None:
         print(f"\n=== showcase: {name} ===", flush=True)
         try:
             fn(argv)
+        except SystemExit as e:
+            # a stage that failed loudly (e.g. benchmark error-only rows):
+            # record it, keep sweeping, exit nonzero at the end
+            if e.code not in (0, None):
+                print(f"[showcase] stage {name} exited with {e.code}")
+                failures.append(name)
         except Exception:
             # failure isolation: a broken stage must not kill the sweep
             traceback.print_exc()

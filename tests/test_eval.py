@@ -123,3 +123,19 @@ def test_quality_batch(librispeech_16k):
     assert (cols["si_snr_watermarked"] > 15).all()
     assert (cols["stoi"] > 0.85).all()
     assert (cols["lsd"] < 12).all()
+
+
+def test_error_only_methods_flagged():
+    """The benchmark CLI must fail loudly when a method yields only ERROR
+    rows (ADVICE r2: round-2 shipped MosaicError CSVs as evidence)."""
+    import pandas as pd
+
+    from nawc_tpu.cli.benchmark import _error_only_methods
+
+    df = pd.DataFrame([
+        {"watermark": "ok", "clip_index": 0, "score": 0.9, "error": None},
+        {"watermark": "broken", "clip_index": -1, "error": "MosaicError(...)"},
+        {"watermark": "broken", "clip_index": -1, "error": "MosaicError(...)"},
+    ])
+    assert _error_only_methods(df, ["ok", "broken"]) == ["broken"]
+    assert _error_only_methods(df.drop(columns=["error"]), ["ok"]) == []
