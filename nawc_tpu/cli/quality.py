@@ -83,8 +83,11 @@ def main(argv=None) -> None:
 
         needs_codec = args.watermark.startswith("semantic") or args.watermark == "token_green"
         codec = load_codec(args.codec_ckpt, args.codec_size) if needs_codec else None
-        wav = load_audio_batch(args.audio_glob, args.filecount, args.sample_rate, args.seconds)
         wm = build_watermarkers([args.watermark], codec, sample_rate=None if args.sample_rate == 16_000 else args.sample_rate)[args.watermark]
+        # embed at the method's NATIVE rate (the reference embeds natively and
+        # only the quality measurement resamples to 16 kHz,
+        # evaluate_quality.py:20-27 — e.g. SilentCipher pairs are 44.1 kHz)
+        wav = load_audio_batch(args.audio_glob, args.filecount, wm.sample_rate, args.seconds)
         key = jax.random.PRNGKey(0)
         if getattr(wm, "n_bits", 0) > 0:
             from ..models.base import random_message
@@ -93,16 +96,11 @@ def main(argv=None) -> None:
             marked = wm.embed(wav, msg, key)
         else:
             marked = wm.embed(wav)
-        cols = evaluate_pair_batch(wav, marked, args.sample_rate)
-        from ..eval.metrics import pesq_host
-
-        pesq_col = [pesq_host(np.asarray(wav[i]), np.asarray(marked[i]), args.sample_rate)
-                    for i in range(wav.shape[0])]
+        cols = evaluate_pair_batch(wav, marked, wm.sample_rate, with_pesq=True)
         df = pd.DataFrame({"clean": [f"clip_{i}" for i in range(wav.shape[0])],
                            "watermarked": [args.watermark] * wav.shape[0],
                            "attack": "", "instrument": "speech",
-                           **{k: v for k, v in cols.items()},
-                           "pesq": pesq_col})
+                           **{k: v for k, v in cols.items()}})
     else:
         raise SystemExit("need --results_dir or --watermark")
 

@@ -11,21 +11,46 @@ import numpy as np
 
 from ..dsp.resample import resample
 from ..utils import audio_io
+from ..utils.config import StftConfig
 from .metrics import lsd, pesq_host, si_snr, snr, stoi
 
+# The reference computes EVERY quality metric at 16 kHz regardless of the
+# method's native rate (``evaluate_quality.py:20-27`` load_audio resamples
+# both files), with LSD over an n_fft=1024 / hop=512 magnitude STFT and
+# eps=1e-8 (``:45-52``).  Published BASELINE §6.1 numbers are only
+# comparable under this protocol — e.g. a 24 kHz codec-resynthesis
+# watermark's >8 kHz noise floor is outside the measurement band.  Both
+# signals go through the SAME linear resample, so the comparison measures
+# resample(marked - clean) and introduces no resampling artifacts of its
+# own.
+REF_EVAL_SR = 16_000
+_REF_LSD_CFG = StftConfig(1024, 512, 1024)
 
-def evaluate_pair_batch(clean: jnp.ndarray, marked: jnp.ndarray, sr: int) -> dict[str, np.ndarray]:
-    """(B, T) x2 -> metric columns (named like evaluate_quality.py:54-78)."""
+
+def evaluate_pair_batch(
+    clean: jnp.ndarray, marked: jnp.ndarray, sr: int, with_pesq: bool = False
+) -> dict[str, np.ndarray]:
+    """(B, T) x2 at the embed rate ``sr`` -> metric columns (named like
+    evaluate_quality.py:54-78), measured under the reference protocol."""
+    if sr != REF_EVAL_SR:
+        clean = resample(clean, sr, REF_EVAL_SR)
+        marked = resample(marked, sr, REF_EVAL_SR)
     si_c = np.asarray(si_snr(clean, clean))
     si_w = np.asarray(si_snr(clean, marked))
-    return {
+    cols = {
         "si_snr_clean": si_c,
         "si_snr_watermarked": si_w,
         "delta_si_snr": si_w - si_c,
         "snr": np.asarray(snr(clean, marked)),
-        "lsd": np.asarray(lsd(clean, marked)),
-        "stoi": np.asarray(stoi(clean, marked, sr)),
+        "lsd": np.asarray(lsd(clean, marked, _REF_LSD_CFG)),
+        "stoi": np.asarray(stoi(clean, marked, REF_EVAL_SR)),
     }
+    if with_pesq:
+        cols["pesq"] = np.asarray([
+            pesq_host(np.asarray(clean[i]), np.asarray(marked[i]), REF_EVAL_SR)
+            for i in range(clean.shape[0])
+        ])
+    return cols
 
 
 def evaluate_pairs(pairs: list[tuple[str, str]], sr: int = 16_000, with_pesq: bool = True):
@@ -50,13 +75,11 @@ def evaluate_pairs(pairs: list[tuple[str, str]], sr: int = 16_000, with_pesq: bo
         markeds.append(m[:t])
     cleans = jnp.stack([c[:t_min] for c in cleans])
     markeds = jnp.stack([m[:t_min] for m in markeds])
-    cols = evaluate_pair_batch(cleans, markeds, sr)
+    cols = evaluate_pair_batch(cleans, markeds, sr, with_pesq=with_pesq)
     rows = []
     for i, (cp, mp) in enumerate(pairs):
         row = {"clean": cp, "watermarked": mp, "attack": "", "instrument": "speech"}
         row.update({k: float(v[i]) for k, v in cols.items()})
-        if with_pesq:
-            row["pesq"] = pesq_host(np.asarray(cleans[i]), np.asarray(markeds[i]), sr)
         rows.append(row)
     return pd.DataFrame(rows)
 
