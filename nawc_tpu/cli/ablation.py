@@ -30,7 +30,15 @@ def main(argv=None) -> None:
 
     codec = load_codec(args.codec_ckpt, args.codec_size)
     wav = load_audio_batch(args.audio_glob, args.filecount, args.sample_rate, args.seconds)
-    wms = build_watermarkers(args.watermarks, codec, sample_rate=None if args.sample_rate == 16_000 else args.sample_rate)
+    from ..models import at_rate
+
+    # fixed-rate methods join via the resampling adapter so one ablation
+    # grid covers all watermark families at a single sweep rate
+    # (reference run_snac_layer_ablation.py:167-235 mixes all six methods)
+    wms = {n: at_rate(w, args.sample_rate)
+           for n, w in build_watermarkers(
+               args.watermarks, codec,
+               sample_rate=None if args.sample_rate == 16_000 else args.sample_rate).items()}
 
     df = run_layer_ablation(codec, wms, wav, in_sr=args.sample_rate)
     out = Path(args.out_dir)

@@ -31,7 +31,13 @@ def main(argv=None) -> None:
     codec = load_codec(args.codec_ckpt, args.codec_size)
     sr = codec.cfg.sample_rate
     wav = load_audio_batch(args.audio_glob, args.filecount, sr, args.seconds)
-    wms = build_watermarkers(args.watermarks, codec, sample_rate=sr)
+    from ..models import at_rate
+
+    # fixed-rate methods (chunked/psychoacoustic/neural) join the sweep via
+    # the resampling adapter, mirroring the reference's all-methods manifold
+    # run (run_manifold_analysis_all.py:325-515)
+    wms = {n: at_rate(w, sr)
+           for n, w in build_watermarkers(args.watermarks, codec, sample_rate=sr).items()}
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -5,6 +5,7 @@ from .chunked import ChunkedWM
 from .psychoacoustic import PsychoacousticWM, ints_to_bits, bits_to_ints
 from .neural import NeuralWM, init_neural_wm, WMGenerator, WMDetector
 from .token_green import TokenGreenWM, green_mask
+from .resampled import ResampledWM, at_rate
 
 __all__ = [
     "Watermarker", "random_message", "bit_accuracy", "available", "build",

@@ -121,17 +121,26 @@ def main() -> None:
             "--results", str(out / sub / "test_results.csv"),
             "--out_dir", str(out / sub / "stats"),
         ])
+    # interp sweeps cover every method family at standard/full scale
+    # (reference runs all six watermarks: run_manifold_analysis_all.py:325-515,
+    # run_snac_layer_ablation.py:167-235); fixed-rate methods join via the
+    # ResampledWM adapter
+    interp_wms = (["spread_spectrum", "semantic_cluster"] if scale == "quick"
+                  else list(QUALITY_NAME))
     run("manifold", manifold.main, [
-        "--watermarks", "spread_spectrum", "semantic_cluster",
+        "--watermarks", *interp_wms,
         "--filecount", str(n_sem), "--seconds", "1.4",
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "manifold"),
     ])
     run("ablation", ablation.main, [
-        "--watermarks", "spread_spectrum", "--filecount", str(min(n, 8)),
+        "--watermarks", *interp_wms, "--filecount", str(min(n, 8)),
+        "--sample_rate", "24000", "--seconds", "1.4",
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "ablation"),
     ])
+    # reference uncertainty eval caps at 200 rows (run_uncertainty_eval.py:178-180);
+    # rows here = 2 x filecount (marked + clean)
     run("uncertainty", uncertainty.main, [
-        "--watermark", "spread_spectrum", "--filecount", str(min(n, 32)),
+        "--watermark", "spread_spectrum", "--filecount", str(min(n, 100)),
         "--out_dir", str(out / "uncertainty"),
     ])
     run("perturbation", perturbation.main, [
