@@ -42,7 +42,7 @@ def main(argv=None) -> None:
 
     import optax
 
-    from nawc_tpu.train.adversarial import (decoder_only_mask,
+    from nawc_tpu.train.adversarial import (decoder_only_tx,
                                             init_discriminators,
                                             make_gan_train_step)
     from nawc_tpu.train.codec_train import (make_codec_eval_fn,
@@ -77,10 +77,10 @@ def main(argv=None) -> None:
     print(f"[train_gan] discriminators: {n_disc/1e6:.2f}M params; "
           f"decoder-only generator grads", flush=True)
 
-    gtx = optax.masked(
+    gtx = decoder_only_tx(
         optax.chain(optax.clip_by_global_norm(1.0),
                     optax.adamw(args.g_lr, b1=0.8, b2=0.99, weight_decay=1e-4)),
-        decoder_only_mask(gen_params))
+        gen_params)
     dtx = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(args.d_lr, b1=0.8, b2=0.99, weight_decay=1e-4))
     g_opt = gtx.init(gen_params)

@@ -26,7 +26,12 @@ from .spread_spectrum import SpreadSpectrumWM
 class ChunkedWM:
     """16-bit payload repeated over 1 s chunks; score = 1 - BER."""
 
-    cfg: SpreadSpectrumConfig = SpreadSpectrumConfig(alpha=0.1)
+    # masked operating point (tune_impercept_r3.py chunked sweep): alpha 0.1
+    # gave SI 41.5 dB / bit_surv 0.956 but a borderline aac band (0.80);
+    # alpha 0.14 trades ~3 dB of SI for attack margin on the short 1-s
+    # chunks, still well above reference WavMark 36.2 dB / 0.82 distorted
+    # (BASELINE §6.1/6.2).
+    cfg: SpreadSpectrumConfig = SpreadSpectrumConfig(alpha=0.14, mask_quantile=0.85)
     seed: int = 1  # distinct default key from the plain SS watermark
     chunk_seconds: float = 1.0
     name: str = "chunked"
@@ -104,5 +109,5 @@ class ChunkedWM:
 
 
 @register("chunked")
-def _build(cfg: SpreadSpectrumConfig = SpreadSpectrumConfig(alpha=0.1), seed: int = 1) -> ChunkedWM:
-    return ChunkedWM(cfg=cfg, seed=seed)
+def _build(cfg: SpreadSpectrumConfig | None = None, seed: int = 1) -> ChunkedWM:
+    return ChunkedWM(cfg=cfg, seed=seed) if cfg is not None else ChunkedWM(seed=seed)

@@ -122,7 +122,15 @@ def _freq_smooth(logmag: jnp.ndarray, width: int = 15) -> jnp.ndarray:
 class SpreadSpectrumWM:
     """See module docstring.  `seed` fixes the secret key."""
 
-    cfg: SpreadSpectrumConfig = SpreadSpectrumConfig(alpha=0.1)
+    # alpha 0.18 + level-adaptive mask sparing the loudest 15% of band bins:
+    # SI-SNR 36.7 dB (was 21.8 unmasked at alpha 0.1) with bit_clean 1.000,
+    # sigma=1e-3 additive-noise bits 0.961 and 20-attack survival ~0.99 on the
+    # 8x2s LibriSpeech fixture (scripts/scratch/tune_impercept_r3.py sweep).
+    # The masked energy sits in quieter bins, so alpha must rise vs the
+    # unmasked operating point to keep the additive-noise margin; 0.18 is the
+    # largest-SI point that still clears the >=0.95 noise bit-accuracy bar
+    # while staying above the reference WavMark band (BASELINE §6.1: 36.2 dB).
+    cfg: SpreadSpectrumConfig = SpreadSpectrumConfig(alpha=0.18, mask_quantile=0.85)
     seed: int = 0
     n_passes: int = 2
     name: str = "spread_spectrum"
@@ -272,5 +280,5 @@ class SpreadSpectrumWM:
 
 
 @register("spread_spectrum")
-def _build(cfg: SpreadSpectrumConfig = SpreadSpectrumConfig(alpha=0.1), seed: int = 0) -> SpreadSpectrumWM:
-    return SpreadSpectrumWM(cfg=cfg, seed=seed)
+def _build(cfg: SpreadSpectrumConfig | None = None, seed: int = 0) -> SpreadSpectrumWM:
+    return SpreadSpectrumWM(cfg=cfg, seed=seed) if cfg is not None else SpreadSpectrumWM(seed=seed)

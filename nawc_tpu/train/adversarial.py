@@ -9,9 +9,8 @@ Design choices, TPU-first:
   * DECODER-ONLY gradients.  The encoder, projections and codebooks are the
     host space of the semantic watermarks, the manifold axes, and the
     ablation masks — fine-tuning them would silently move every published
-    operating point.  Freezing them (``optax.masked`` over
-    :func:`decoder_only_mask`) makes the fine-tune a pure resynthesis
-    upgrade: codes in, better waveform out.
+    operating point.  Freezing them (:func:`decoder_only_tx`) makes the
+    fine-tune a pure resynthesis upgrade: codes in, better waveform out.
   * Multi-period + multi-scale discriminators (periods 2/3/5/7/11, scales
     x1/x2/x4) with LSGAN losses and feature matching.  All convs are static
     shape; period reshapes are (B, T/p, p) with T padded to lcm(periods,
@@ -132,6 +131,26 @@ def decoder_only_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mark, params)
 
 
+def decoder_only_tx(inner, params):
+    """Wrap ``inner`` so only decoder leaves are updated; everything else
+    gets an exactly-zero update.
+
+    ``optax.masked(inner, mask)`` is NOT safe for freezing: it applies
+    ``inner`` to masked leaves but passes the *raw incoming gradients*
+    through unchanged for unmasked ones, and ``optax.apply_updates`` then
+    ADDS those gradients to the "frozen" parameters — a full-gradient
+    ascent step that destroys a trained encoder in one iteration (the
+    round-3 GAN NaN).  ``multi_transform`` + ``set_to_zero`` pins frozen
+    updates to 0.
+    """
+    import optax as _optax
+
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", decoder_only_mask(params))
+    return _optax.multi_transform(
+        {"train": inner, "freeze": _optax.set_to_zero()}, labels)
+
+
 def init_discriminators(key: jax.Array, example_len: int) -> Any:
     x = jnp.zeros((1, pad_for_periods(example_len)), jnp.float32)
     return Discriminators().init(key, x)
@@ -172,8 +191,9 @@ def make_gan_train_step(
     """Returns jitted step(gen_params, disc_params, g_opt, d_opt, wav)
     -> (gen_params, disc_params, g_opt, d_opt, metrics).
 
-    ``gtx`` should be masked to the decoder subtree (optax.masked over
-    :func:`decoder_only_mask`) so encoder/quantizer stay frozen."""
+    ``gtx`` should be built with :func:`decoder_only_tx` so encoder and
+    quantizer updates are pinned to exactly zero (NOT ``optax.masked`` —
+    see :func:`decoder_only_tx` for why that silently un-freezes)."""
 
     disc = Discriminators()
 

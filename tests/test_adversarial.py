@@ -9,7 +9,7 @@ import pytest
 
 from nawc_tpu.codec.model import SnacCodec
 from nawc_tpu.train.adversarial import (Discriminators, decoder_only_mask,
-                                        init_discriminators,
+                                        decoder_only_tx, init_discriminators,
                                         make_gan_train_step, pad_for_periods)
 from nawc_tpu.utils.config import CodecConfig
 
@@ -51,8 +51,33 @@ def test_decoder_only_mask():
 def test_gan_step_freezes_encoder():
     key = jax.random.PRNGKey(0)
     gen_params = SnacCodec(CFG).init(key, jnp.zeros((1, CFG.chunk)))
+    # At init the decoder's final conv is zero-init, which blocks every
+    # upstream gradient — encoder grads would be exactly zero and the test
+    # could not distinguish "frozen" from "received a zero update" (this hid
+    # the optax.masked raw-gradient passthrough bug).  Jitter ALL decoder
+    # leaves so encoder/quantizer gradients are nonzero like in a real
+    # fine-tune of a trained checkpoint.
+    jkey = jax.random.PRNGKey(7)
+    dec = gen_params["params"]["decoder"]
+    leaves, treedef = jax.tree_util.tree_flatten(dec)
+    jittered = [
+        leaf + 0.02 * jax.random.normal(jax.random.fold_in(jkey, i), leaf.shape)
+        for i, leaf in enumerate(leaves)
+    ]
+    gen_params = {"params": {**gen_params["params"],
+                             "decoder": jax.tree_util.tree_unflatten(treedef, jittered)}}
+    # sanity: the thing we freeze must actually have nonzero gradients here
+    def _loss(p):
+        r = SnacCodec(CFG).apply(p, wav_probe, method=SnacCodec.roundtrip)
+        return jnp.mean((r - wav_probe) ** 2)
+    wav_probe = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, CFG.chunk)).astype(np.float32)) * 0.1
+    g = jax.grad(_loss)(gen_params)
+    enc_gnorm = optax.global_norm(g["params"]["encoder"])
+    assert float(enc_gnorm) > 0.0
+
     disc_params = init_discriminators(jax.random.PRNGKey(1), CFG.chunk)
-    gtx = optax.masked(optax.adam(1e-3), decoder_only_mask(gen_params))
+    gtx = decoder_only_tx(optax.adam(1e-3), gen_params)
     dtx = optax.adam(1e-3)
     step = make_gan_train_step(CFG, gtx, dtx, sisnr_weight=0.05)
 

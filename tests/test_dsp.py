@@ -113,3 +113,53 @@ def test_resample_identity(tone_24k):
     x, sr = tone_24k
     y = np.asarray(resample(jnp.asarray(x), sr, sr))
     np.testing.assert_allclose(y, x)
+
+
+def test_overlap_add_fast_path_matches_scatter():
+    """win % hop == 0 uses the scatter-free shift-add path; it must agree
+    with the scatter reference for overlapping and exotic geometries."""
+    rng = np.random.default_rng(7)
+    from nawc_tpu.dsp.stft import overlap_add as _oa
+
+    for n_frames, win, hop in [(13, 1024, 256), (5, 512, 128), (9, 64, 16), (3, 100, 7)]:
+        fr = jnp.asarray(rng.normal(size=(2, n_frames, win)).astype(np.float32))
+        out_len = win + (n_frames - 1) * hop
+        got = _oa(fr, hop, out_len)
+        # scatter reference
+        ref = np.zeros((2, out_len), np.float32)
+        frn = np.asarray(fr)
+        for i in range(n_frames):
+            ref[:, i * hop : i * hop + win] += frn[:, i]
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-5)
+        # out_len longer than coverage: zero-padded tail
+        got2 = _oa(fr, hop, out_len + 37)
+        np.testing.assert_allclose(np.asarray(got2[..., :out_len]), ref, atol=1e-4, rtol=1e-5)
+        assert float(jnp.abs(got2[..., out_len:]).max()) == 0.0
+
+
+@pytest.mark.parametrize("n_fft", [256, 1024])
+def test_matmul_dft_matches_fft(n_fft):
+    """The MXU matmul-DFT path (TPU default) is numerically interchangeable
+    with jnp.fft on the same frames."""
+    from nawc_tpu.dsp.stft import _dft_mats_np, _irfft, _rfft
+
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.normal(size=(4, 11, n_fft)).astype(np.float32))
+    ref_spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    import os
+
+    os.environ["NAWC_DFT"] = "matmul"
+    try:
+        got_spec = _rfft(frames, n_fft)
+        np.testing.assert_allclose(
+            np.asarray(got_spec), np.asarray(ref_spec), atol=2e-3 * np.sqrt(n_fft), rtol=1e-4
+        )
+        got_x = _irfft(ref_spec, n_fft)
+    finally:
+        os.environ.pop("NAWC_DFT", None)
+    ref_x = jnp.fft.irfft(ref_spec, n=n_fft, axis=-1)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(ref_x), atol=1e-4, rtol=1e-4)
+    # round-trip through the matmul pair reconstructs the frames
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(frames), atol=1e-3)
+    cos_m, sin_m = _dft_mats_np(n_fft)
+    assert cos_m.shape == (n_fft, n_fft // 2 + 1) and sin_m.shape == cos_m.shape
