@@ -61,6 +61,12 @@ def main(argv=None) -> None:
     ap.add_argument("--codec_ckpt", default="checkpoints/codec_24k.msgpack")
     ap.add_argument("--codec_size", choices=["full", "small"], default="full")
     ap.add_argument("--out_csv", default="results/quality_results.csv")
+    ap.add_argument("--embed_batch", type=int, default=16,
+                    help="fly-embed sub-batch size: the semantic Adam-PGD "
+                         "embed holds STFTs + optimizer state for the whole "
+                         "batch in HBM, which OOMs one chip somewhere above "
+                         "~32 clips x 5 s @ 24 kHz; sub-batching keeps memory "
+                         "flat with one compile (all sub-batches same shape)")
     ap.add_argument("--summarize_dir", default=None,
                     help="aggregate <dir>/*_quality_results.csv into a "
                          "BASELINE-style six-method summary table, then exit")
@@ -89,13 +95,29 @@ def main(argv=None) -> None:
         # evaluate_quality.py:20-27 — e.g. SilentCipher pairs are 44.1 kHz)
         wav = load_audio_batch(args.audio_glob, args.filecount, wm.sample_rate, args.seconds)
         key = jax.random.PRNGKey(0)
+        msg = None
         if getattr(wm, "n_bits", 0) > 0:
             from ..models.base import random_message
 
             msg = random_message(key, wav.shape[0], wm.n_bits)
-            marked = wm.embed(wav, msg, key)
-        else:
-            marked = wm.embed(wav)
+        # sub-batched embed: equal-size chunks (pad the tail by repeating the
+        # last clip) so every chunk hits the same compiled executable
+        bsz = max(1, min(args.embed_batch, wav.shape[0]))
+        parts = []
+        for i in range(0, wav.shape[0], bsz):
+            w = wav[i:i + bsz]
+            pad = bsz - w.shape[0]
+            if pad:
+                w = jax.numpy.concatenate([w, jax.numpy.repeat(w[-1:], pad, 0)], 0)
+            if msg is not None:
+                m = msg[i:i + bsz]
+                if pad:
+                    m = jax.numpy.concatenate([m, jax.numpy.repeat(m[-1:], pad, 0)], 0)
+                mk = wm.embed(w, m, key)
+            else:
+                mk = wm.embed(w)
+            parts.append(mk[:bsz - pad] if pad else mk)
+        marked = jax.numpy.concatenate(parts, 0)
         cols = evaluate_pair_batch(wav, marked, wm.sample_rate, with_pesq=True)
         df = pd.DataFrame({"clean": [f"clip_{i}" for i in range(wav.shape[0])],
                            "watermarked": [args.watermark] * wav.shape[0],
