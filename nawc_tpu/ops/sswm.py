@@ -58,7 +58,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_T_TILE = 128  # frames per grid step; K*_T_TILE*Wpad*4 bytes of pattern VMEM
+_T_TILE = 128  # max frames per grid step (shrunk when K*W is large, see below)
+_VMEM_BUDGET = 10 * 2**20  # scoped-VMEM target; the hardware limit is 16 MB
+
+
+def _pick_t_tile(kp: int, wp: int) -> int:
+    """Frames per grid step such that the kernel's VMEM working set —
+    pattern block + elementwise product (each kp*tt*wp f32), the W-contraction
+    result y (kp*tt*LANE) and the residual row (tt*wp) — fits the scoped-VMEM
+    budget.  At spread-spectrum shapes (K=16, W<=512) this returns the full
+    128; psychoacoustic's K=64 patterns at W=512 would need a 32 MB stack at
+    tt=128 (the round-3 full-showcase failure: 'scoped allocation with size
+    32.00M ... limit 16.00M'), so tt drops to 32."""
+    per_row = (2 * kp * wp + kp * _LANE + wp) * 4
+    tt = _VMEM_BUDGET // per_row
+    return int(max(8, min(_T_TILE, (tt // 8) * 8)))
 
 
 def _center_time(p: jnp.ndarray) -> jnp.ndarray:
@@ -175,14 +189,15 @@ def _whiten_correlate_pallas(
     s, m = _scale_shift(r)  # (B, 1, W) from TRUE-length stats, before padding
 
     kp = -(-k // 8) * 8
-    tp = -(-t // _T_TILE) * _T_TILE
     wp = -(-w // _LANE) * _LANE
+    t_tile = _pick_t_tile(kp, wp)
+    tp = -(-t // t_tile) * t_tile
     # zero padding is exact: padded rows/bins/patterns contribute 0 terms
     r = jnp.pad(r, ((0, 0), (0, tp - t), (0, wp - w)))
     s = jnp.pad(s, ((0, 0), (0, 0), (0, wp - w)))
     m = jnp.pad(m, ((0, 0), (0, 0), (0, wp - w)))
     pstack = jnp.pad(pstack, ((0, 0), (0, kp - k), (0, tp - t), (0, wp - w)))
-    nt = tp // _T_TILE
+    nt = tp // t_tile
 
     out = pl.pallas_call(
         _kernel,
@@ -190,12 +205,12 @@ def _whiten_correlate_pallas(
         grid=(b, nv, nt),
         in_specs=[
             pl.BlockSpec(
-                (1, _T_TILE, wp), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM
+                (1, t_tile, wp), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, 1, wp), lambda i, j, n: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, wp), lambda i, j, n: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, kp, _T_TILE, wp),
+                (1, kp, t_tile, wp),
                 lambda i, j, n: (j, 0, n, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -65,7 +65,11 @@ def test_kernel_compiled_on_tpu():
     """Hardware exactness at the showcase (2 s), bench (4 s), and odd
     shapes that previously MosaicError'd (VERDICT r2 #1).  Run via
     NAWC_TPU_TESTS=1 pytest -k on_tpu."""
-    for b, t, w, k in [(16, 126, 367, 16), (16, 376, 367, 16), (3, 77, 130, 16)]:
+    # last case = psychoacoustic detect shape (K=60 coded bits): its KP=64
+    # pattern stack forced the VMEM-budgeted t_tile=32 path that the fixed
+    # 128-frame tile OOM'd on ('scoped allocation with size 32.00M', r3)
+    for b, t, w, k in [(16, 126, 367, 16), (16, 376, 367, 16), (3, 77, 130, 16),
+                       (8, 250, 450, 60)]:
         r, p = _case(b=b, t=t, w=w, k=k)
         ref = whiten_correlate_reference(r, p, _OFFS)
         got = _whiten_correlate_pallas(r, p, _OFFS)
