@@ -39,9 +39,14 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # /root persists across driver VM restarts; /tmp does not (a fresh
+        # VM wiped the round-3 cache and made every compile cold again)
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("NAWC_JAX_CACHE", "/tmp/nawc_jax_cache"),
+            os.environ.get(
+                "NAWC_JAX_CACHE",
+                os.path.expanduser("~/.cache/nawc_jax_cache"),
+            ),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
