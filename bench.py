@@ -85,10 +85,51 @@ def chained_time(step, x0, iters: int = 8) -> float:
     return sorted(times)[1]
 
 
+def wait_for_device(max_wait_s: float = 900.0, probe_timeout_s: float = 60.0) -> None:
+    """Block until the backend answers a trivial device-to-host fetch.
+
+    The axon TPU worker can crash ("kernel fault") and take ~15 min to
+    restart; during the outage every dispatch hangs with no error.  A
+    daemon-thread probe with a timeout turns that silent hang into a
+    bounded wait-and-retry so the benchmark survives a worker restart
+    that happens just before it starts."""
+    import threading
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        ok = threading.Event()
+
+        def probe():
+            try:
+                np.asarray(jnp.ones((8, 128))).sum()
+                ok.set()
+            except Exception:
+                pass  # retry below
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(probe_timeout_s)
+        if ok.is_set():
+            if attempt:
+                print(f"[bench] device back after {attempt} probe(s)", file=sys.stderr)
+            return
+        attempt += 1
+        if time.time() > deadline:
+            print("[bench] device unresponsive after "
+                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
+            return
+        print(f"[bench] device probe {attempt} timed out; waiting for the "
+              "TPU worker to restart...", file=sys.stderr)
+        time.sleep(20.0)
+
+
 def main() -> None:
     from nawc_tpu.codec import make_codec
     from nawc_tpu.models import SpreadSpectrumWM
     from nawc_tpu.utils.config import CodecConfig, SpreadSpectrumConfig
+
+    wait_for_device()
 
     # bf16 conv compute on the inference path (params f32); exactness vs
     # f32 is pinned in tests/test_codec.py
