@@ -89,28 +89,30 @@ def wait_for_device(max_wait_s: float = 900.0, probe_timeout_s: float = 60.0) ->
     """Block until the backend answers a trivial device-to-host fetch.
 
     The axon TPU worker can crash ("kernel fault") and take ~15 min to
-    restart; during the outage every dispatch hangs with no error.  A
-    daemon-thread probe with a timeout turns that silent hang into a
-    bounded wait-and-retry so the benchmark survives a worker restart
-    that happens just before it starts."""
-    import threading
+    restart; during the outage every dispatch hangs with no error.  The
+    probe runs in a DISPOSABLE SUBPROCESS (ADVICE r3: an in-process
+    daemon-thread probe stuck on the dead worker can hold JAX backend/init
+    locks and poison the benchmarking process's runtime; a killed
+    subprocess cannot)."""
+    import subprocess
 
     deadline = time.time() + max_wait_s
     attempt = 0
+    probe_src = (
+        "import jax, jax.numpy as jnp, numpy as np; "
+        "print(float(np.asarray(jnp.ones((8, 128))).sum()))"
+    )
     while True:
-        ok = threading.Event()
-
-        def probe():
-            try:
-                np.asarray(jnp.ones((8, 128))).sum()
-                ok.set()
-            except Exception:
-                pass  # retry below
-
-        t = threading.Thread(target=probe, daemon=True)
-        t.start()
-        t.join(probe_timeout_s)
-        if ok.is_set():
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
             if attempt:
                 print(f"[bench] device back after {attempt} probe(s)", file=sys.stderr)
             return

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.resample import resample
 from ..dsp.stft import stft, istft
 from ..utils.config import StftConfig
 from ..utils.padding import fix_length
@@ -178,10 +177,18 @@ def limiter(wav: jnp.ndarray, limit: float = 0.3, frame: int = 64) -> jnp.ndarra
 
 @functools.partial(jax.jit, static_argnames=("phase",))
 def phase_shift(wav: jnp.ndarray, phase: float = float(np.pi / 2)) -> jnp.ndarray:
-    """Constant spectral phase rotation (Hilbert-based all-pass)."""
-    spec = jnp.fft.rfft(wav, axis=-1)
+    """Constant spectral phase rotation (Hilbert-based all-pass).
+
+    The FFT is zero-padded to a power of two: XLA lowers large non-pow2
+    lengths to a dense DFT matmul on TPU (a 2 s 44.1 kHz clip produced an
+    f32[88200,88200] = 31 GB allocation, ADVICE r3).  The rotation is
+    per-bin constant, so the pad only leaks negligible tail energy into
+    the cropped region."""
+    t = wav.shape[-1]
+    nfft = 1 << (t - 1).bit_length()
+    spec = jnp.fft.rfft(wav, n=nfft, axis=-1)
     rot = jnp.exp(1j * jnp.asarray(phase, jnp.complex64))
-    out = jnp.fft.irfft(spec * rot, n=wav.shape[-1], axis=-1)
+    out = jnp.fft.irfft(spec * rot, n=nfft, axis=-1)[..., :t]
     return out.astype(wav.dtype)
 
 
@@ -203,13 +210,31 @@ def time_jitter(wav: jnp.ndarray, key: jax.Array, max_ms: float = 2.0, sr: int =
 
 @functools.partial(jax.jit, static_argnames=("rate_permyriad",))
 def time_stretch(wav: jnp.ndarray, rate_permyriad: int = 9500) -> jnp.ndarray:
-    """Speed change by resampling (the reference's speed attack,
+    """Speed change by playback-rate warping (the reference's speed attack,
     ``pgd_research/src/misc/attack_baselines.py`` 24k->22.8k->24k).  Rate in
     1/10000 units: the benchmark suite's anchored severity is a 0.01%
     stretch (rate 9999), which already fully desynchronizes fixed-lattice
-    detectors over multi-second clips."""
-    y = resample(wav, 10_000, rate_permyriad)
-    return fix_length(y, wav.shape[-1])
+    detectors over multi-second clips.
+
+    Implemented as a linear-interpolation gather, NOT the polyphase
+    resampler: near-unity rates make gcd(10000, rate) tiny, so the
+    filterbank would carry orig/gcd phases (rate 9999 -> a 9999x10014
+    kernel constant whose serialized MLIR exceeds the remote-compile
+    request limit, ADVICE r3).  For |1-rate| <= 5% the interp error is far
+    below the anchored severity."""
+    t = wav.shape[-1]
+    step = 10_000.0 / float(rate_permyriad)  # input samples per output sample
+    pos = jnp.arange(t, dtype=jnp.float32) * step
+    valid = pos <= (t - 1.001)
+    pos = jnp.clip(pos, 0.0, t - 1.001)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - i0).astype(wav.dtype)
+    x0 = wav[..., i0]
+    x1 = wav[..., i0 + 1]
+    y = x0 * (1 - frac) + x1 * frac
+    # samples past the (shorter) stretched signal are silence, matching the
+    # previous resample + fix_length(pad) behavior
+    return jnp.where(valid, y, jnp.zeros_like(y))
 
 
 @functools.partial(jax.jit, static_argnames=("rt60_ms", "sr", "wet"))

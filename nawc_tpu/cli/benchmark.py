@@ -53,7 +53,17 @@ def main(argv=None) -> None:
     ap.add_argument("--out_dir", default="results")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--artifacts", type=int, default=0, help="save N artifact triplets")
+    ap.add_argument("--probe", action="store_true",
+                    help="preflight each watermark at n=2 x 1 s in a disposable "
+                         "subprocess before the full-scale stage (crash guard; "
+                         "VERDICT r3 #8)")
     args = ap.parse_args(argv)
+
+    if args.probe:
+        from .common import preflight_probe
+
+        preflight_probe(args.watermarks, args.codec_ckpt, args.codec_size,
+                        args.sample_rate)
 
     from ..attacks import build_suite
     from ..eval import run_combined, run_detector_checker, run_survivability

@@ -67,6 +67,46 @@ def load_codec(ckpt: str | None, size: str = "full"):
     return codec
 
 
+def preflight_probe(
+    watermarks: list[str],
+    codec_ckpt: str | None = None,
+    codec_size: str = "full",
+    sample_rate: int = 16_000,
+    timeout_s: float = 900.0,
+) -> None:
+    """Run ``cli.probe`` for each requested watermark in a disposable
+    subprocess before a full-scale stage.  A watermark whose probe hangs or
+    dies aborts the run BEFORE the full-scale dispatch that would take the
+    TPU worker down with it (VERDICT r3 #8; crash record in CLAUDE.md).
+    Timeout default is generous because a cold remote compile takes
+    minutes."""
+    import subprocess
+    import sys
+
+    for name in watermarks:
+        cmd = [
+            sys.executable, "-m", "nawc_tpu.cli.probe", "--watermark", name,
+            "--sample_rate", str(sample_rate), "--codec_size", codec_size,
+        ]
+        if codec_ckpt:
+            cmd += ["--codec_ckpt", codec_ckpt]
+        print(f"[probe] preflight {name} (subprocess, timeout {timeout_s:.0f}s)",
+              flush=True)
+        try:
+            proc = subprocess.run(cmd, timeout=timeout_s, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            raise SystemExit(
+                f"[probe] {name} preflight TIMED OUT after {timeout_s:.0f}s — "
+                "refusing to run the full-scale stage (TPU worker may be down "
+                "or this path hangs; see CLAUDE.md crash record)")
+        if proc.returncode != 0:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-8:]
+            raise SystemExit(
+                f"[probe] {name} preflight FAILED (rc={proc.returncode}) — "
+                "refusing to run the full-scale stage.\n" + "\n".join(tail))
+        print(f"[probe] {proc.stdout.strip().splitlines()[-1]}", flush=True)
+
+
 WM_CHOICES = (
     "spread_spectrum", "chunked", "psychoacoustic",
     "semantic_pca", "semantic_cluster", "semantic_random",

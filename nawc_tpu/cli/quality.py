@@ -70,7 +70,17 @@ def main(argv=None) -> None:
     ap.add_argument("--summarize_dir", default=None,
                     help="aggregate <dir>/*_quality_results.csv into a "
                          "BASELINE-style six-method summary table, then exit")
+    ap.add_argument("--probe", action="store_true",
+                    help="preflight the watermark at n=2 x 1 s in a disposable "
+                         "subprocess before the full-scale embed (crash guard; "
+                         "VERDICT r3 #8)")
     args = ap.parse_args(argv)
+
+    if args.probe and args.watermark:
+        from .common import preflight_probe
+
+        preflight_probe([args.watermark], args.codec_ckpt, args.codec_size,
+                        args.sample_rate)
 
     if args.summarize_dir:
         summarize_quality_dir(args.summarize_dir)

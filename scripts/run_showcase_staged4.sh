@@ -6,6 +6,19 @@
 # workload first and the suspect semantic stage at reduced scale behind a
 # liveness gate, committing artifacts after every stage.
 set -u
+
+# SUPERSEDED by run_showcase_staged5.sh (and later plans).  This script's
+# semantic stages (`cli.quality --watermark semantic_cluster --filecount 64
+# --seconds 5.0`) are the exact configuration that kernel-faulted the axon
+# TPU worker twice on 2026-08-20 (~15 min outage each; see CLAUDE.md and
+# docs/roadmap.md) — the probe gate below only detects the crash AFTER it
+# happens.  Opt in explicitly if you really want to rerun it.
+if [ "${NAWC_ALLOW_STAGED4:-0}" != "1" ]; then
+  echo "run_showcase_staged4.sh is superseded (semantic stages reproduce the" \
+       "TPU worker crash); set NAWC_ALLOW_STAGED4=1 to override" >&2
+  exit 2
+fi
+
 cd /root/repo
 LOG=/tmp/showcase_staged.log
 

@@ -29,10 +29,12 @@ done
 echo "=== staged5: TPU back $(date -u +%H:%M:%S) ===" >> "$LOG"
 
 stage() {
+  # returns the command's rc (ADVICE r3: a failed sweep must not feed its
+  # partial CSV into the chained stats stage); deadline skips return 99
   name=$1; shift
   t=$(left)
   if [ "$t" -lt 90 ]; then
-    echo "=== staged5: skipping $name (deadline) ===" >> "$LOG"; return 1
+    echo "=== staged5: skipping $name (deadline) ===" >> "$LOG"; return 99
   fi
   echo "=== staged5: $name start $(date -u +%H:%M:%S) budget=${t}s ===" >> "$LOG"
   timeout "$t" "$@" >> "$LOG" 2>&1
@@ -40,7 +42,7 @@ stage() {
   echo "=== staged5: $name rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG"
   git add -A results/showcase
   git diff --cached --quiet || git commit -q -m "showcase(full): $name artifacts"
-  return 0
+  return $rc
 }
 
 stage robustness-neural python -m nawc_tpu.cli.robustness --watermark neural \

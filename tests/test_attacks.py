@@ -76,10 +76,32 @@ def test_characteristic_behaviors(librispeech_16k, suite):
     q1 = suite["quantization"](wav, key)
     q2 = suite["quantization"](q1, key)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-7)
-    # phase shift preserves magnitude spectrum
+    # phase shift preserves the magnitude spectrum (approximately: the
+    # pow2-padded FFT crops the Hilbert leakage tail, so per-bin equality
+    # is no longer exact — check energy + loose per-bin agreement)
     w0 = np.abs(np.fft.rfft(np.asarray(wav[0])))
     wp = np.abs(np.fft.rfft(np.asarray(suite["phase_shift"](wav, key)[0])))
-    np.testing.assert_allclose(wp[1:-1], w0[1:-1], rtol=1e-3, atol=1e-4)
+    assert abs(np.sum(wp**2) / np.sum(w0**2) - 1.0) < 0.02
+    band = lambda m: np.add.reduceat(m**2, np.arange(0, len(m), 256))
+    np.testing.assert_allclose(band(wp), band(w0), rtol=0.2, atol=1e-3)
+    # time stretch is a playback-rate warp: a pure tone comes back at the
+    # scaled frequency, and the tail past T*rate is silence
+    sr, secs = 16_000, 2
+    tt = np.arange(sr * secs) / sr
+    tone = jnp.asarray(np.sin(2 * np.pi * 440.0 * tt, dtype=np.float32))[None, :]
+    st = np.asarray(suite["time_stretch"](tone, key)[0])
+    spec = np.abs(np.fft.rfft(st * np.hanning(len(st))))
+    peak_hz = np.argmax(spec) / secs
+    assert abs(peak_hz - 440.0 * 10_000 / 9_999) < 1.0, peak_hz
+    from nawc_tpu.attacks import dsp as _dsp
+
+    st95 = np.asarray(_dsp.time_stretch(tone, 9_500)[0])
+    n_live = int(len(st) * 0.95)
+    assert np.abs(st95[n_live + 16:]).max() == 0.0
+    assert np.sqrt(np.mean(st95[: n_live - 16] ** 2)) > 0.5  # warped tone present
+    spec95 = np.abs(np.fft.rfft(st95[:n_live] * np.hanning(n_live)))
+    peak95_hz = np.argmax(spec95) * sr / n_live
+    assert abs(peak95_hz - 440.0 / 0.95) < 2.0, peak95_hz
 
 
 def test_codec_roundtrip_shapes(codec, librispeech_16k):
