@@ -186,26 +186,17 @@ def semantic_embed(
 
     opt = optax.adam(scfg.lr)
 
-    if scfg.lsd_weight > 0.0:
-        from ..dsp.stft import stft as _stft
-        from ..utils.config import StftConfig as _StftConfig
-
-        _shape_cfg = _StftConfig(1024, 256, 1024)
-        x_mag = jnp.abs(_stft(x, _shape_cfg)) + 1e-8
+    def clip_budget(delta):
+        if scfg.dynamic_eps:
+            norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True)) + 1e-12
+            delta = delta * jnp.minimum(1.0, r2 / norm)
+        return jnp.clip(delta, -cap, cap)
 
     def clip_loss(delta):
         perturbed = x + delta * mask
         proj = _projections(codec_cfg, params, perturbed, axis)  # (B, T')
         s = _pn(proj.shape[-1], scfg.pn_seed)  # T' static at trace time
-        loss = -jnp.sum(_zstat(proj, s, scfg.ma_window)) / 10.0
-        if scfg.lsd_weight > 0.0:
-            # differentiable log-spectral distance to the clean clip: pushes
-            # the delta's energy under the content's own spectral envelope
-            p_mag = jnp.abs(_stft(perturbed, _shape_cfg)) + 1e-8
-            d = 20.0 * (jnp.log10(x_mag) - jnp.log10(p_mag))
-            loss = loss + scfg.lsd_weight * jnp.mean(
-                jnp.sqrt(jnp.mean(d * d, axis=-1) + 1e-9))
-        return loss
+        return -jnp.sum(_zstat(proj, s, scfg.ma_window)) / 10.0
 
     grad_fn = jax.grad(clip_loss)
 
@@ -214,14 +205,58 @@ def semantic_embed(
         g = grad_fn(delta) * mask
         updates, opt_state = opt.update(g, opt_state, delta)
         delta = optax.apply_updates(delta, updates)
-        if scfg.dynamic_eps:
-            norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True)) + 1e-12
-            delta = delta * jnp.minimum(1.0, r2 / norm)
-        delta = jnp.clip(delta, -cap, cap)
-        return delta, opt_state
+        return clip_budget(delta), opt_state
+
+    # Spectral shaping (lsd_weight > 0) is a gradient-free PROJECTION between
+    # optimization phases, NOT a loss term: round 3's differentiable LSD
+    # penalty put an STFT inside the Adam vjp, which kernel-faults the axon
+    # TPU worker at batch >= 16 x 5 s (bisected round 4: 16x5s ran with the
+    # penalty off and crashed with it on; docs/roadmap.md).  The projection
+    # composes only ops proven safe at scale — the z-only fori_loop and a
+    # standalone batched STFT/iSTFT (the attack suite runs those at
+    # 496 x 32000).  Projected-gradient structure: each phase re-optimizes
+    # z under the cap; the LAST projection runs after the final step so the
+    # emitted delta satisfies |STFT(delta)| <= c * |STFT(clean)| per bin,
+    # which bounds the log-spectral distortion by ~8.7c dB.
+    if scfg.lsd_weight > 0.0:
+        from ..dsp.stft import istft as _istft
+        from ..dsp.stft import stft as _stft
+        from ..utils.config import StftConfig as _StftConfig
+
+        _shape_cfg = _StftConfig(1024, 256, 1024)
+        x_mag = jnp.abs(_stft(x, _shape_cfg))
+        c = 10.0 ** (-scfg.proj_headroom_db / 20.0)
+
+        def spectral_project(delta):
+            d_spec = _stft(delta * mask, _shape_cfg)
+            d_mag = jnp.abs(d_spec) + 1e-12
+            scale = jnp.minimum(1.0, c * x_mag / d_mag)
+            shaped = _istft(d_spec * scale, _shape_cfg, length=delta.shape[-1])
+            return clip_budget(shaped)
+
+        n_phases = max(1, scfg.n_proj_phases)
+    else:
+        spectral_project = None
+        n_phases = 1
 
     delta0 = jnp.zeros_like(x)
-    delta, _ = jax.lax.fori_loop(0, scfg.steps, body, (delta0, opt.init(delta0)))
+    carry0 = (delta0, opt.init(delta0))
+    if spectral_project is None:
+        delta, _ = jax.lax.fori_loop(0, scfg.steps, body, carry0)
+    else:
+        # nested loops keep the compiled graph small (ONE Adam body + ONE
+        # projection, not n_phases unrolled copies — remote compiles of big
+        # graphs take minutes and can exceed request limits).  The
+        # projection is the last op of the last phase, so the spectral cap
+        # holds on the emitted delta.  Total steps round down to a multiple
+        # of n_phases (300/4 = 75 exactly for the default configs).
+        steps_per = max(1, scfg.steps // n_phases)
+
+        def phase(_, carry):
+            delta, opt_state = jax.lax.fori_loop(0, steps_per, body, carry)
+            return spectral_project(delta), opt_state
+
+        delta, _ = jax.lax.fori_loop(0, n_phases, phase, carry0)
     out = x + delta * mask
     return out[..., : wav.shape[-1]]
 
@@ -255,10 +290,10 @@ _DEFAULT_CFGS = {
     # cluster/random budget here is spent at 31 dB — still inside the
     # reference's 29-40 dB band — because our from-scratch encoder needs
     # more energy per sigma of latent shift).  Distinct PN seeds per method.
-    # lsd_weight=0.1: spectral-shaping penalty trades none of the operating
-    # point (pass rate 1.0 at the 0.85 gate, scores unchanged ±0.1σ) for
-    # ~20% lower LSD (scripts/scratch/tune_semantic_lsd.py sweep, r3:
-    # 24 kHz-native LSD 22.0→17.8 pca / 21.5→17.1 kmeans at lw 0.05–0.15)
+    # lsd_weight>0 gates spectral shaping, now a projection between Adam
+    # phases (see semantic_embed): the r3 in-vjp LSD penalty kernel-faulted
+    # the TPU worker at batch >= 16 (bisect record docs/roadmap.md r4);
+    # shaping strength lives in proj_headroom_db / n_proj_phases
     "pca": SemanticWMConfig(steps=300, dynamic_eps=True, target_sdr_db=29.0, pn_seed=701,
                             lsd_weight=0.1),
     "kmeans": SemanticWMConfig(steps=300, dynamic_eps=True, target_sdr_db=31.0, pn_seed=702,

@@ -171,7 +171,19 @@ class SemanticWMConfig:
     ma_window: int = 9
     score_scale: float = 0.28
     cap_mult: float = 6.0
-    # spectral-shaping penalty weight: adds an LSD term to the embed
-    # objective so the perturbation hides under the content's spectrum
-    # instead of spending the whole SDR budget as broadband noise
+    # spectral shaping gate (>0 enables): the perturbation is pushed under
+    # the content's own spectral envelope so the SDR budget is not spent as
+    # audible broadband noise.  Round 3 implemented this as an LSD penalty
+    # INSIDE the Adam grad loop; the STFT-in-vjp at batch >= 16 x 5 s
+    # kernel-faulted the axon TPU worker (bisect record: docs/roadmap.md
+    # round-4).  It is now a gradient-free per-bin magnitude PROJECTION
+    # applied between optimization phases — the value only gates the
+    # feature; shaping strength lives in proj_headroom_db.
     lsd_weight: float = 0.0
+    # spectral projection: |STFT(delta)| is capped at
+    # 10^(-proj_headroom_db/20) * |STFT(clean)| per TF bin, after each of
+    # n_proj_phases equal slices of the Adam steps (projected-gradient
+    # style; the last projection runs after the final step so the cap
+    # holds on the emitted audio)
+    proj_headroom_db: float = 14.0
+    n_proj_phases: int = 4

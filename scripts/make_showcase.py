@@ -93,7 +93,9 @@ def main() -> None:
         print(f"=== {name} done in {time.time() - t:.0f}s ===", flush=True)
 
     run("eval_codec", eval_codec.main, ["--ckpt", args.ckpt, "--filecount", str(n)])
-    run("benchmark", benchmark.main, [
+    # NOTE --only matches by prefix; "benchmark_main" keeps it distinct from
+    # benchmark_semantic / benchmark_datasets
+    run("benchmark_main", benchmark.main, [
         "--mode", "both", "--watermarks", "spread_spectrum", "chunked",
         "psychoacoustic", "neural",
         "--filecount", str(n), "--codec_ckpt", args.ckpt,
@@ -105,7 +107,21 @@ def main() -> None:
         "--filecount", str(n_sem), "--seconds", str(sem_seconds),
         "--sample_rate", "24000", "--codec_ckpt", args.ckpt,
         "--out_dir", str(out / "benchmark_semantic"),
+        *(["--probe"] if scale != "quick" else []),
     ])
+    # multi-dataset sweep (the reference's outer loop over ~11 corpora,
+    # watermark_testing.py:970-1021; corpora from scripts/make_datasets.py)
+    if scale == "full" and Path("data/datasets").exists():
+        run("benchmark_datasets", benchmark.main, [
+            "--mode", "both", "--watermarks", "spread_spectrum", "chunked",
+            "neural",
+            "--data_root", "data/datasets",
+            "--datasets", "libri_spk84", "libri_spk174", "libri_reverb",
+            "synth_tones",
+            "--filecount", "48", "--seconds", "4.0",
+            "--codec_ckpt", args.ckpt,
+            "--out_dir", str(out / "benchmark_datasets"),
+        ])
     # raw_bench-parity robustness sweeps: one stats tree per bit-carrying
     # method (reference: audioseal/wavmark/silentcipher outputs)
     rob_methods = ["neural", "chunked", "psychoacoustic", "spread_spectrum"]
@@ -127,9 +143,12 @@ def main() -> None:
     # ResampledWM adapter
     interp_wms = (["spread_spectrum", "semantic_cluster"] if scale == "quick"
                   else list(QUALITY_NAME))
+    # reference manifold analysis runs all watermarkers over <=120 files
+    # (run_manifold_analysis_all.py:325-515); 64 clips at full scale
+    manifold_n = {"quick": n_sem, "standard": n_sem, "full": 64}[scale]
     run("manifold", manifold.main, [
         "--watermarks", *interp_wms,
-        "--filecount", str(n_sem), "--seconds", "1.4",
+        "--filecount", str(manifold_n), "--seconds", "1.4",
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "manifold"),
     ])
     run("ablation", ablation.main, [
@@ -159,6 +178,8 @@ def main() -> None:
         if is_sem:
             argv += ["--sample_rate", "24000", "--seconds", "5.0",
                      "--filecount", str(min(quality_n, 120))]
+            if scale != "quick":
+                argv += ["--probe"]
         run(f"quality:{m}", quality.main, argv)
     run("quality:summary", quality.main, ["--summarize_dir", str(out / "quality")])
     run("pgd_exp_b", pgd.main, [
@@ -167,6 +188,20 @@ def main() -> None:
     ])
     run("pgd_interp", pgd.main, [
         "--mode", "interp", "--filecount", str(min(n, 4)), "--steps", "30",
+        "--codec_ckpt", args.ckpt, "--out_dir", str(out / "pgd"),
+    ])
+    # the remaining PGD-research artifact families (reference C22-C27):
+    # baseline attack suite, Exp A latent-delta metrics, Exp C subspace PGD
+    run("pgd_baselines", pgd.main, [
+        "--mode", "baselines", "--filecount", str(min(n, 8)),
+        "--codec_ckpt", args.ckpt, "--out_dir", str(out / "pgd"),
+    ])
+    run("pgd_exp_a", pgd.main, [
+        "--mode", "exp_a", "--filecount", str(min(n, 16)),
+        "--codec_ckpt", args.ckpt, "--out_dir", str(out / "pgd"),
+    ])
+    run("pgd_exp_c", pgd.main, [
+        "--mode", "exp_c", "--filecount", str(min(n, 4)), "--steps", "30",
         "--codec_ckpt", args.ckpt, "--out_dir", str(out / "pgd"),
     ])
     status = "complete" if not failures else f"FINISHED WITH FAILURES: {failures}"
