@@ -71,12 +71,38 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.n
         return w + jax.lax.stop_gradient(q - w)  # STE through the rounding
 
     def fft_lowpass(w):
-        f = jnp.fft.rfft(w, axis=-1)
+        # pow2-padded FFT: XLA lowers large non-pow2 FFTs to a dense DFT
+        # matmul on TPU (f32[T,T]) — see attacks/dsp.phase_shift note
+        t = w.shape[-1]
+        nfft = 1 << (t - 1).bit_length()
+        f = jnp.fft.rfft(w, n=nfft, axis=-1)
         n = f.shape[-1]
         cut = (1.0 - 0.5 * sev) * n  # keep >= half the band at full severity
         ramp = jnp.arange(n)[None, :]
         mask = jax.nn.sigmoid((cut - ramp) / (0.02 * n))
-        return jnp.fft.irfft(f * mask, n=w.shape[-1], axis=-1)
+        return jnp.fft.irfft(f * mask, n=nfft, axis=-1)[..., :t]
+
+    def phase_rot(w):
+        # constant spectral phase rotation (the phase_shift attack family)
+        t = w.shape[-1]
+        nfft = 1 << (t - 1).bit_length()
+        f = jnp.fft.rfft(w, n=nfft, axis=-1)
+        phi = sev * jax.random.uniform(k2, (), minval=-1.5, maxval=1.5)
+        rot = jnp.cos(phi) + 1j * jnp.sin(phi)
+        return jnp.fft.irfft(f * rot, n=nfft, axis=-1)[..., :t]
+
+    def warp(w):
+        # playback-rate warp (the time_stretch attack family): linear-interp
+        # gather at rate 1 +- 2% * sev — the progressive desync that fixed-
+        # lattice bit reads fail on
+        t = w.shape[-1]
+        rate = 1.0 + 0.02 * sev * jax.random.uniform(k3, (), minval=-1.0, maxval=1.0)
+        pos = jnp.clip(jnp.arange(t, dtype=jnp.float32) * rate, 0.0, t - 1.001)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - i0
+        x0 = w[..., i0]
+        x1 = w[..., i0 + 1]
+        return x0 * (1 - frac) + x1 * frac
 
     def reverb(w):
         # random exponentially-decaying impulse response, 25 ms
@@ -96,7 +122,8 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.n
         return lossy_codec_surrogate(w, sr, bandwidth_hz=(0.95 - 0.15 * sev) * sr / 2,
                                      step_db=2.0 * sev + 0.25)
 
-    fns = [none, noise, smooth, scale, roll, quantize, fft_lowpass, reverb, codec_surrogate]
+    fns = [none, noise, smooth, scale, roll, quantize, fft_lowpass, reverb,
+           codec_surrogate, warp, phase_rot]
     return jax.lax.switch(step % len(fns), fns, wav)
 
 
