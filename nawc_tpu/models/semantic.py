@@ -159,31 +159,32 @@ def _projections(
     return proj
 
 
-@functools.partial(jax.jit, static_argnames=("codec_cfg", "scfg"))
-def semantic_embed(
+def _shape_cfg():
+    from ..utils.config import StftConfig as _StftConfig
+
+    return _StftConfig(1024, 256, 1024)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("codec_cfg", "scfg", "n_steps", "project")
+)
+def _embed_phase(
     codec_cfg: CodecConfig,
     scfg: SemanticWMConfig,
+    n_steps: int,
+    project: bool,
     params,
     axis: jnp.ndarray,
-    wav: jnp.ndarray,
-) -> jnp.ndarray:
-    """Batched Adam-PGD embed (reference inner loop ``:311-327``), maximizing
-    the PN-correlation z statistic directly under an SDR-derived budget."""
-    x = pad_to_multiple(wav, codec_cfg.chunk, axis=-1)
-
-    rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
-    amp = rms * 10.0 ** (-scfg.target_sdr_db / 20.0)  # (B, 1)
-    if scfg.dynamic_eps:
-        # L2 ball with the target-SDR energy + a peak-amplitude cap; the
-        # silence gate scales with the clip (reference uses the dynamic eps
-        # itself as the gate, ``watermark_testing.py:481-484``)
-        r2 = amp * jnp.sqrt(jnp.asarray(x.shape[-1], x.dtype))
-        cap = scfg.cap_mult * amp
-        mask = (jnp.abs(x) > amp).astype(x.dtype)
-    else:
-        cap = jnp.full((x.shape[0], 1), scfg.eps, x.dtype)
-        mask = (jnp.abs(x) > scfg.silence_threshold).astype(x.dtype)
-
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    r2: jnp.ndarray,
+    cap: jnp.ndarray,
+    x_mag: jnp.ndarray,
+    delta: jnp.ndarray,
+    opt_state,
+):
+    """`n_steps` Adam-PGD steps (+ optional spectral projection) as ONE
+    bounded dispatch.  See `semantic_embed` for why the loop is split."""
     opt = optax.adam(scfg.lr)
 
     def clip_budget(delta):
@@ -207,56 +208,93 @@ def semantic_embed(
         delta = optax.apply_updates(delta, updates)
         return clip_budget(delta), opt_state
 
-    # Spectral shaping (lsd_weight > 0) is a gradient-free PROJECTION between
-    # optimization phases, NOT a loss term: round 3's differentiable LSD
-    # penalty put an STFT inside the Adam vjp, which kernel-faults the axon
-    # TPU worker at batch >= 16 x 5 s (bisected round 4: 16x5s ran with the
-    # penalty off and crashed with it on; docs/roadmap.md).  The projection
-    # composes only ops proven safe at scale — the z-only fori_loop and a
-    # standalone batched STFT/iSTFT (the attack suite runs those at
-    # 496 x 32000).  Projected-gradient structure: each phase re-optimizes
-    # z under the cap; the LAST projection runs after the final step so the
-    # emitted delta satisfies |STFT(delta)| <= c * |STFT(clean)| per bin,
-    # which bounds the log-spectral distortion by ~8.7c dB.
-    if scfg.lsd_weight > 0.0:
+    delta, opt_state = jax.lax.fori_loop(0, n_steps, body, (delta, opt_state))
+
+    if project:
+        # gradient-free spectral shaping: cap the delta's STFT magnitude at
+        # c * |STFT(clean)| per TF bin, which bounds log-spectral distortion
+        # by ~|20 log10(1 +- c)| dB and pushes the perturbation under the
+        # content's own envelope (no STFT in any vjp)
         from ..dsp.stft import istft as _istft
         from ..dsp.stft import stft as _stft
-        from ..utils.config import StftConfig as _StftConfig
 
-        _shape_cfg = _StftConfig(1024, 256, 1024)
-        x_mag = jnp.abs(_stft(x, _shape_cfg))
+        cfg_s = _shape_cfg()
         c = 10.0 ** (-scfg.proj_headroom_db / 20.0)
+        d_spec = _stft(delta * mask, cfg_s)
+        d_mag = jnp.abs(d_spec) + 1e-12
+        scale = jnp.minimum(1.0, c * x_mag / d_mag)
+        delta = _istft(d_spec * scale, cfg_s, length=delta.shape[-1])
+        delta = clip_budget(delta)
+    return delta, opt_state
 
-        def spectral_project(delta):
-            d_spec = _stft(delta * mask, _shape_cfg)
-            d_mag = jnp.abs(d_spec) + 1e-12
-            scale = jnp.minimum(1.0, c * x_mag / d_mag)
-            shaped = _istft(d_spec * scale, _shape_cfg, length=delta.shape[-1])
-            return clip_budget(shaped)
 
-        n_phases = max(1, scfg.n_proj_phases)
+def semantic_embed(
+    codec_cfg: CodecConfig,
+    scfg: SemanticWMConfig,
+    params,
+    axis: jnp.ndarray,
+    wav: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched Adam-PGD embed (reference inner loop ``:311-327``), maximizing
+    the PN-correlation z statistic directly under an SDR-derived budget.
+
+    CRASH-SAFETY DESIGN (round 4).  The axon TPU worker kernel-faults on
+    long-running single dispatches: every semantic embed that stayed under
+    ~135 s on-device completed (9 runs), while the three worker crashes on
+    record (r3 benchmark 24x5s, r3 quality 64x5s, r4 confirm 8x5s@600
+    steps) were exactly the dispatches projected to run >= ~150 s.  The
+    optimization is therefore driven from the HOST as a sequence of bounded
+    `_embed_phase` dispatches of `max_steps_per_dispatch` Adam steps each —
+    the same compiled executable re-invoked with carried (delta, opt_state)
+    — instead of one jit containing the whole `steps`-long fori_loop.
+    Round 2's host-looped embeds never crashed for the same reason.
+
+    Spectral shaping (lsd_weight > 0) runs as a gradient-free projection at
+    each of `n_proj_phases` equal points (last one after the final step):
+    round 3's differentiable LSD penalty (an STFT inside the Adam vjp) both
+    lengthened the dispatch past the fault line and coupled the STFT into
+    the backward pass; the projection does neither.
+    """
+    x = pad_to_multiple(wav, codec_cfg.chunk, axis=-1)
+
+    rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True))
+    amp = rms * 10.0 ** (-scfg.target_sdr_db / 20.0)  # (B, 1)
+    if scfg.dynamic_eps:
+        # L2 ball with the target-SDR energy + a peak-amplitude cap; the
+        # silence gate scales with the clip (reference uses the dynamic eps
+        # itself as the gate, ``watermark_testing.py:481-484``)
+        r2 = amp * jnp.sqrt(jnp.asarray(x.shape[-1], x.dtype))
+        cap = scfg.cap_mult * amp
+        mask = (jnp.abs(x) > amp).astype(x.dtype)
     else:
-        spectral_project = None
-        n_phases = 1
+        r2 = jnp.zeros_like(amp)
+        cap = jnp.full((x.shape[0], 1), scfg.eps, x.dtype)
+        mask = (jnp.abs(x) > scfg.silence_threshold).astype(x.dtype)
 
-    delta0 = jnp.zeros_like(x)
-    carry0 = (delta0, opt.init(delta0))
-    if spectral_project is None:
-        delta, _ = jax.lax.fori_loop(0, scfg.steps, body, carry0)
+    shaping = scfg.lsd_weight > 0.0
+    if shaping:
+        from ..dsp.stft import stft as _stft
+
+        x_mag = jnp.abs(_stft(x, _shape_cfg()))
     else:
-        # nested loops keep the compiled graph small (ONE Adam body + ONE
-        # projection, not n_phases unrolled copies — remote compiles of big
-        # graphs take minutes and can exceed request limits).  The
-        # projection is the last op of the last phase, so the spectral cap
-        # holds on the emitted delta.  Total steps round down to a multiple
-        # of n_phases (300/4 = 75 exactly for the default configs).
-        steps_per = max(1, scfg.steps // n_phases)
+        x_mag = jnp.zeros((1,), x.dtype)  # unused under jit when project=False
 
-        def phase(_, carry):
-            delta, opt_state = jax.lax.fori_loop(0, steps_per, body, carry)
-            return spectral_project(delta), opt_state
+    opt = optax.adam(scfg.lr)
+    delta = jnp.zeros_like(x)
+    opt_state = opt.init(delta)
 
-        delta, _ = jax.lax.fori_loop(0, n_phases, phase, carry0)
+    n_phases = max(1, scfg.n_proj_phases) if shaping else 1
+    per_phase = max(1, scfg.steps // n_phases)
+    max_d = max(1, scfg.max_steps_per_dispatch)
+    for _ in range(n_phases):
+        remaining = per_phase
+        while remaining > 0:
+            n = min(remaining, max_d)
+            remaining -= n
+            delta, opt_state = _embed_phase(
+                codec_cfg, scfg, n, shaping and remaining == 0,
+                params, axis, x, mask, r2, cap, x_mag, delta, opt_state,
+            )
     out = x + delta * mask
     return out[..., : wav.shape[-1]]
 

@@ -187,3 +187,8 @@ class SemanticWMConfig:
     # holds on the emitted audio)
     proj_headroom_db: float = 14.0
     n_proj_phases: int = 4
+    # hard ceiling on Adam steps per XLA dispatch: the axon worker
+    # kernel-faults on single dispatches running >~150 s on-device (crash
+    # matrix in models/semantic.semantic_embed docstring); 75 steps at
+    # batch 16 x 5 s is ~30 s
+    max_steps_per_dispatch: int = 75

@@ -82,5 +82,11 @@ def rvq_step(z):
 
 results["rvq_only"] = chained_time(rvq_step, z0) * 1e3
 
+# batch scaling: does encode time scale sublinearly (dispatch/utilization
+# headroom at batch 16)?
+for b in (32, 64):
+    wav_b = jnp.asarray(rng.normal(size=(b, sr * seconds)).astype(np.float32) * 0.1)
+    results[f"encode(full)@b{b}"] = chained_time(encode_step, wav_b, iters=4) * 1e3
+
 for k, v in results.items():
-    print(f"{k:42s} {v:8.2f} ms")
+    print(f"{k:42s} {v:8.2f} ms", flush=True)
