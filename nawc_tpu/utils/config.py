@@ -187,6 +187,13 @@ class SemanticWMConfig:
     # holds on the emitted audio)
     proj_headroom_db: float = 14.0
     n_proj_phases: int = 4
+    # bins above this frequency are exempt from the spectral cap: the
+    # reference's 16 kHz quality protocol (evaluate_quality.py resamples
+    # to 16 kHz) cannot represent >8 kHz, clean speech holds little energy
+    # there, and the perturbation sits 30+ dB down — so the PN carrier gets
+    # that band for free while the shaped sub-8k core carries detection
+    # under lowpass/codec attacks.  0 disables the exemption.
+    proj_free_above_hz: float = 8000.0
     # hard ceiling on Adam steps per XLA dispatch: the axon worker
     # kernel-faults on single dispatches running >~150 s on-device (crash
     # matrix in models/semantic.semantic_embed docstring); 75 steps at
