@@ -34,6 +34,10 @@ def main(argv=None) -> None:
                          "does not restart from zero")
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--codec_ckpt", default=None,
+                    help="enable the differentiable codec-roundtrip attack "
+                         "branch (every 3rd step) against this codec — "
+                         "targets the encodec/dac eval rows")
     args = ap.parse_args(argv)
 
     import optax
@@ -55,6 +59,11 @@ def main(argv=None) -> None:
         state.gen_params, state.det_params = blob["gen"], blob["det"]
         print(f"[train_wm] resumed from {args.resume}", flush=True)
     step_fn = make_wm_train_step(cfg, tx)
+    step_fn_codec = None
+    if args.codec_ckpt:
+        from .common import load_codec
+
+        step_fn_codec = make_wm_train_step(cfg, tx, codec=load_codec(args.codec_ckpt))
     batches = speech_batches(files, args.batch, args.seconds, cfg.sample_rate, seed=args.seed)
 
     gen, det, opt = state.gen_params, state.det_params, state.opt_state
@@ -67,7 +76,8 @@ def main(argv=None) -> None:
         wav = jnp.asarray(next(batches)[:, :t])
         key, km, kk = jax.random.split(key, 3)
         msg = jax.random.bernoulli(km, 0.5, (args.batch, cfg.n_bits)).astype(jnp.int32)
-        gen, det, opt, metrics = step_fn(
+        fn = step_fn_codec if (step_fn_codec is not None and step % 3 == 0) else step_fn
+        gen, det, opt, metrics = fn(
             gen, det, opt, wav, msg, kk, jnp.asarray(step + args.start_step))
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}

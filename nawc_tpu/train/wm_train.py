@@ -127,13 +127,36 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.n
     return jax.lax.switch(step % len(fns), fns, wav)
 
 
-def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step):
+def codec_roundtrip_attack(codec, wav: jnp.ndarray, sev: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable neural-codec roundtrip (the reference's LALM attack,
+    the eval suite's encodec/dac rows): resample -> encode -> STE quantize ->
+    decode -> resample back.  Gradients flow to the watermark through the
+    straight-through quantizer, so the generator learns codes-space-visible
+    payloads — the eval rows this targets sat at presence 0.0 / bits 0.53
+    before this branch existed."""
+    from ..dsp.resample import resample, resample_length
+    from ..utils.padding import fix_length, pad_to_multiple
+
+    sr_in, sr_c = 16_000, codec.cfg.sample_rate
+    x = resample(wav, sr_in, sr_c)
+    x = pad_to_multiple(x, codec.cfg.chunk, axis=-1)
+    rt = codec.roundtrip(x)
+    y = resample(rt[..., : resample_length(wav.shape[-1], sr_in, sr_c)], sr_c, sr_in)
+    y = fix_length(y, wav.shape[-1])
+    return wav + sev * (y - wav)
+
+
+def wm_loss(cfg: NeuralWMConfig, gen_params, det_params, wav, msg, key, step,
+            codec=None):
     delta = WMGenerator(cfg).apply(gen_params, wav, msg)
     marked = wav + cfg.alpha * delta
 
     # attack-strength curriculum: mild for the first 2k steps, full by 10k
     sev = jnp.clip((step.astype(jnp.float32) - 2000.0) / 8000.0, 0.0, 1.0)
-    attacked = _diff_attack(marked, key, step, sev)
+    if codec is not None:
+        attacked = codec_roundtrip_attack(codec, marked, sev)
+    else:
+        attacked = _diff_attack(marked, key, step, sev)
     lg_att = WMDetector(cfg).apply(det_params, attacked)
     lg_marked = WMDetector(cfg).apply(det_params, marked)
     lg_clean = WMDetector(cfg).apply(det_params, wav)
@@ -190,10 +213,16 @@ def init_wm_train(key: jax.Array, cfg: NeuralWMConfig, tx, example_len: int = 16
     return WMTrainState(wm.gen_params, wm.det_params, opt_state, 0)
 
 
-def make_wm_train_step(cfg: NeuralWMConfig, tx):
+def make_wm_train_step(cfg: NeuralWMConfig, tx, codec=None):
+    """Jitted joint train step.  With `codec`, the attack channel is the
+    differentiable codec roundtrip instead of the DSP round-robin — built
+    as a SECOND step function so the base step's compiled graph stays
+    byte-identical (persistent-cache hit); the CLI alternates host-side."""
+
     def step_fn(gen_params, det_params, opt_state, wav, msg, key, step):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda gp, dp: wm_loss(cfg, gp, dp, wav, msg, key, step), argnums=(0, 1), has_aux=True
+            lambda gp, dp: wm_loss(cfg, gp, dp, wav, msg, key, step, codec),
+            argnums=(0, 1), has_aux=True
         )(gen_params, det_params)
         updates, opt_state = tx.update(grads, opt_state, (gen_params, det_params))
         gen_params, det_params = optax.apply_updates((gen_params, det_params), updates)

@@ -140,9 +140,13 @@ class NeuralWMConfig:
     strides: Tuple[int, ...] = (2, 4, 5, 8)
     bottleneck_dim: int = 128
     alpha: float = 1.0
-    # embed/detect window (= training crop length): the message pattern is
-    # anchored to the generator's stride lattice, so both sides chunk here
-    window: int = 16_384
+    # embed/detect window — MUST equal the checkpoint's training crop
+    # length: the message pattern is anchored to the generator's stride
+    # lattice, so both sides chunk here.  16_000 = 50 * the 320-sample
+    # stride lattice = the train CLI's 1 s default (the old 16_384 was not
+    # even lattice-aligned; the r4 retrain exposed that a checkpoint
+    # decodes at chance through any other window — see docs/roadmap.md)
+    window: int = 16_000
 
 
 @dataclasses.dataclass(frozen=True)
