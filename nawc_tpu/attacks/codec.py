@@ -77,12 +77,28 @@ def ablation_masks(num_levels: int) -> dict[str, jnp.ndarray]:
     return masks
 
 
-def latent_roundtrip(codec: CodecState, wav: jnp.ndarray) -> jnp.ndarray:
+def latent_roundtrip(
+    codec: CodecState, wav: jnp.ndarray, in_sr: int | None = None
+) -> jnp.ndarray:
     """Quantizer-BYPASS round-trip (continuous latents), the reference's
-    EnCodec decode-from-encoder-output path (``attack_baselines.py:44-66``)."""
-    x = pad_to_multiple(wav, codec.cfg.chunk, axis=-1)
+    EnCodec decode-from-encoder-output path (``attack_baselines.py:44-66``).
+
+    This is the MILD neural-codec resynthesis: no RVQ information loss,
+    so it plays the role of the reference suite's high-bitrate `encodec`
+    attack (AudioSeal keeps bitwise 0.954 under it,
+    ``audioseal_stats_loose/stats_by_attack.csv`` row 5) while the full
+    RVQ `codec_roundtrip` matches the destructive `dac` row (bitwise
+    0.531, hard 0.000 — identical to our measured roundtrip behavior)."""
+    sr = codec.cfg.sample_rate
+    t_in = wav.shape[-1]
+    x = wav if (in_sr is None or in_sr == sr) else resample(wav, in_sr, sr)
+    g = _norm_gain(x)
+    x = pad_to_multiple(x * g, codec.cfg.chunk, axis=-1)
     z = codec.encode_latent(x)
-    return fix_length(codec.decode_latent(z), wav.shape[-1])
+    y = codec.decode_latent(z) / g
+    if in_sr is not None and in_sr != sr:
+        y = resample(y, sr, in_sr)
+    return fix_length(y, t_in)
 
 
 def latent_transform_attack(codec: CodecState, wav: jnp.ndarray, fn) -> jnp.ndarray:
