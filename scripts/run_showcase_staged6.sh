@@ -72,20 +72,24 @@ for m in spread_spectrum chunked neural psychoacoustic; do
     --out_dir results/showcase/$sub/stats
 done
 
-# 3) interp refresh at reference scale (VERDICT #4)
+# 3) regenerate the main benchmark tree with the fixed attacks (round-3's
+#    5 compile/OOM error rows -> zero) and the retrained neural ckpt
+stage benchmark-main $SHOW benchmark_main
+
+# 4) interp refresh at reference scale (VERDICT #4)
 stage manifold $SHOW manifold
 stage ablation $SHOW ablation
 stage uncertainty $SHOW uncertainty
 stage perturbation $SHOW perturbation
 stage pgd $SHOW pgd
 
-# 4) multi-dataset sweep (VERDICT #7)
+# 5) multi-dataset sweep (VERDICT #7)
 stage datasets $SHOW benchmark_datasets
 
-# 5) refresh the remaining quality tables + summary + benchmark tree with
-#    the fixed attacks (zero error rows) and current checkpoints
-stage benchmark-main $SHOW benchmark_main
-stage quality-rest $SHOW quality
+# 6) refresh the remaining quality tables + summary with current ckpts
+#    (semantic tables were regenerated in step 1; don't repeat the embeds)
+stage quality-rest $SHOW quality:spread_spectrum quality:chunked \
+  quality:psychoacoustic quality:neural quality:token_green quality:summary
 stage eval-codec $SHOW eval_codec
 
 git add -A results/showcase
