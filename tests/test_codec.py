@@ -199,3 +199,19 @@ def test_bf16_compute_matches_f32(librispeech_16k):
     diff = float(jnp.sqrt(jnp.mean((y32 - y16) ** 2)))
     scale = float(jnp.sqrt(jnp.mean(y32**2))) + 1e-9
     assert diff / scale < 0.1, f"bf16 decode rel-rms {diff / scale}"
+
+
+def test_fast_sin2_accuracy():
+    """The Snake fast path (layers._sin2_periodic) must stay within 5e-4 of
+    true sin^2 across a wide argument range (f32 range reduction: bf16
+    reduction would put ~6e-2 on the reduced argument at |z| > pi)."""
+    from nawc_tpu.codec.layers import _sin2_periodic
+
+    z = jnp.asarray(np.linspace(-60.0, 60.0, 200_001).astype(np.float32))
+    got = np.asarray(_sin2_periodic(z))
+    want = np.sin(np.asarray(z, np.float64)) ** 2
+    assert np.max(np.abs(got - want)) < 5e-4
+    # bf16 inputs go through the same f32 reduction
+    got16 = np.asarray(_sin2_periodic(z.astype(jnp.bfloat16)).astype(jnp.float32))
+    zb = np.asarray(z.astype(jnp.bfloat16).astype(jnp.float32), np.float64)
+    assert np.max(np.abs(got16 - np.sin(zb) ** 2)) < 5e-3  # bf16 output quantization
