@@ -201,8 +201,12 @@ def time_jitter(wav: jnp.ndarray, key: jax.Array, max_ms: float = 2.0, sr: int =
     offs = jax.image.resize(ctrl, wav.shape[:-1] + (t,), method="linear")
     offs = offs * (max_ms / 1000.0 * sr)
     pos = jnp.clip(jnp.arange(t) + offs, 0.0, t - 1.001)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - i0
+    # integer clamp: at large T the f32 upper bound t-1.001 rounds UP to
+    # t-1 (f32 spacing ~0.008 at 1.2e5), floor then yields t-1 and i0+1
+    # gathers out of bounds — jnp's default OOB mode fills NaN for floats
+    # (bit half the 24 kHz benchmark clips at 120000 samples)
+    i0 = jnp.minimum(jnp.floor(pos).astype(jnp.int32), t - 2)
+    frac = jnp.clip(pos - i0, 0.0, 1.0).astype(wav.dtype)
     x0 = jnp.take_along_axis(wav, i0, axis=-1)
     x1 = jnp.take_along_axis(wav, i0 + 1, axis=-1)
     return x0 * (1 - frac) + x1 * frac
@@ -227,8 +231,8 @@ def time_stretch(wav: jnp.ndarray, rate_permyriad: int = 9500) -> jnp.ndarray:
     pos = jnp.arange(t, dtype=jnp.float32) * step
     valid = pos <= (t - 1.001)
     pos = jnp.clip(pos, 0.0, t - 1.001)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    frac = (pos - i0).astype(wav.dtype)
+    i0 = jnp.minimum(jnp.floor(pos).astype(jnp.int32), t - 2)  # see time_jitter note
+    frac = jnp.clip(pos - i0, 0.0, 1.0).astype(wav.dtype)
     x0 = wav[..., i0]
     x1 = wav[..., i0 + 1]
     y = x0 * (1 - frac) + x1 * frac

@@ -98,8 +98,8 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.n
         t = w.shape[-1]
         rate = 1.0 + 0.02 * sev * jax.random.uniform(k3, (), minval=-1.0, maxval=1.0)
         pos = jnp.clip(jnp.arange(t, dtype=jnp.float32) * rate, 0.0, t - 1.001)
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - i0
+        i0 = jnp.minimum(jnp.floor(pos).astype(jnp.int32), t - 2)  # f32 rounds
+        frac = jnp.clip(pos - i0, 0.0, 1.0)  # t-1.001 UP at large t -> OOB NaN
         x0 = w[..., i0]
         x1 = w[..., i0 + 1]
         return x0 * (1 - frac) + x1 * frac
