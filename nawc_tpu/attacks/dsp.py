@@ -228,11 +228,17 @@ def time_stretch(wav: jnp.ndarray, rate_permyriad: int = 9500) -> jnp.ndarray:
     below the anchored severity."""
     t = wav.shape[-1]
     step = 10_000.0 / float(rate_permyriad)  # input samples per output sample
-    pos = jnp.arange(t, dtype=jnp.float32) * step
-    valid = pos <= (t - 1.001)
-    pos = jnp.clip(pos, 0.0, t - 1.001)
-    i0 = jnp.minimum(jnp.floor(pos).astype(jnp.int32), t - 2)  # see time_jitter note
-    frac = jnp.clip(pos - i0, 0.0, 1.0).astype(wav.dtype)
+    # positions in float64 ON HOST (t and rate are jit-static): the f32 grid
+    # spacing at t ~ 1.2e5 (~0.008 samples) would quantize interpolation
+    # positions near the clip tail (ADVICE r4); host numpy keeps sub-sample
+    # accuracy at any benchmark length and bakes exact constants into the
+    # compiled program
+    pos_np = np.arange(t, dtype=np.float64) * step
+    valid = jnp.asarray(pos_np <= (t - 1))
+    pos_np = np.clip(pos_np, 0.0, t - 1)
+    i0_np = np.minimum(np.floor(pos_np), t - 2).astype(np.int32)
+    i0 = jnp.asarray(i0_np)
+    frac = jnp.asarray(np.clip(pos_np - i0_np, 0.0, 1.0).astype(np.float32)).astype(wav.dtype)
     x0 = wav[..., i0]
     x1 = wav[..., i0 + 1]
     y = x0 * (1 - frac) + x1 * frac

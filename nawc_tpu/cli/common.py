@@ -104,7 +104,9 @@ def preflight_probe(
             raise SystemExit(
                 f"[probe] {name} preflight FAILED (rc={proc.returncode}) — "
                 "refusing to run the full-scale stage.\n" + "\n".join(tail))
-        print(f"[probe] {proc.stdout.strip().splitlines()[-1]}", flush=True)
+        lines = proc.stdout.strip().splitlines()
+        print(f"[probe] {lines[-1] if lines else f'{name} preflight ok (no output)'}",
+              flush=True)
 
 
 WM_CHOICES = (

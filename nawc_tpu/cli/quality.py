@@ -35,6 +35,7 @@ def summarize_quality_dir(dir_: str) -> None:
             "lsd": df["lsd"].mean(),
             "pesq": df["pesq"].mean() if "pesq" in df else float("nan"),
             "stoi": df["stoi"].mean(),
+            "lsd_native_sr": df["lsd_native"].mean() if "lsd_native" in df else float("nan"),
         })
     from ..eval.metrics import pesq_impl
 

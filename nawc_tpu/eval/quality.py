@@ -31,7 +31,17 @@ def evaluate_pair_batch(
     clean: jnp.ndarray, marked: jnp.ndarray, sr: int, with_pesq: bool = False
 ) -> dict[str, np.ndarray]:
     """(B, T) x2 at the embed rate ``sr`` -> metric columns (named like
-    evaluate_quality.py:54-78), measured under the reference protocol."""
+    evaluate_quality.py:54-78), measured under the reference protocol.
+
+    ``stoi`` is the exact (pystoi-algorithm) host implementation so the
+    column is comparable against the reference's pystoi numbers; the fast
+    on-device approximation is reported alongside as ``stoi_dev``.
+    ``lsd_native`` is the LSD at the embed's NATIVE sample rate (ADVICE r4:
+    the 16 kHz protocol cannot see a 24 kHz method's 8-12 kHz band, so the
+    protocol number alone can understate audible distortion)."""
+    from .stoi_exact import stoi_exact_batch
+
+    lsd_native = np.asarray(lsd(clean, marked, _REF_LSD_CFG))
     if sr != REF_EVAL_SR:
         clean = resample(clean, sr, REF_EVAL_SR)
         marked = resample(marked, sr, REF_EVAL_SR)
@@ -43,7 +53,9 @@ def evaluate_pair_batch(
         "delta_si_snr": si_w - si_c,
         "snr": np.asarray(snr(clean, marked)),
         "lsd": np.asarray(lsd(clean, marked, _REF_LSD_CFG)),
-        "stoi": np.asarray(stoi(clean, marked, REF_EVAL_SR)),
+        "stoi": stoi_exact_batch(np.asarray(clean), np.asarray(marked), REF_EVAL_SR),
+        "stoi_dev": np.asarray(stoi(clean, marked, REF_EVAL_SR)),
+        "lsd_native": lsd_native,
     }
     if with_pesq:
         cols["pesq"] = np.asarray([

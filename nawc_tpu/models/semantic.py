@@ -292,10 +292,13 @@ def semantic_embed(
     opt_state = opt.init(delta)
 
     n_phases = max(1, scfg.n_proj_phases) if shaping else 1
-    per_phase = max(1, scfg.steps // n_phases)
+    n_phases = min(n_phases, max(1, scfg.steps))
+    base, rem = divmod(scfg.steps, n_phases)
     max_d = max(1, scfg.max_steps_per_dispatch)
-    for _ in range(n_phases):
-        remaining = per_phase
+    for p in range(n_phases):
+        # distribute steps % n_phases across the first phases so no
+        # optimization step is silently dropped (ADVICE r4)
+        remaining = base + (1 if p < rem else 0)
         while remaining > 0:
             n = min(remaining, max_d)
             remaining -= n
