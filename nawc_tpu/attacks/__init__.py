@@ -58,7 +58,7 @@ def build_suite(sr: int = 16_000, codec=None) -> dict[str, AttackFn]:
         "reverb": lambda w, k: dsp.reverb(w, k, 300.0, sr, wet=0.3),  # 9.3
         "mp3": lambda w, k: dsp.mp3(w, sr),  # 30.5
         "aac": lambda w, k: dsp.aac(w, sr),  # ~-29
-        "vorbis": lambda w, k: dsp.vorbis(w, sr),  # 19.6
+        "vorbis": lambda w, k: dsp.vorbis(w, k, sr),  # 19.6
     }
     if codec is not None:
         # two neural-codec fidelities, mirroring the reference suite's

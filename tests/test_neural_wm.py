@@ -107,3 +107,20 @@ def test_windowed_embed_detect_semantics(librispeech_16k):
     pres, bits = wm.detect(marked[:, :6500])
     assert pres.shape == (1,) and bits.shape == (1, cfg.n_bits)
     assert np.isfinite(np.asarray(pres)).all()
+
+
+def test_detect_sync_contract(wm, librispeech_16k):
+    """detect_sync (round 5): parity-complete offset grid, grouped scan,
+    gather re-alignment.  With random weights the bits are meaningless, so
+    this pins the CONTRACT: shapes, offsets on the configured grid, both
+    polarities scanned without error, determinism."""
+    x = librispeech_16k[:2, :T]
+    pres, bits, off = wm.detect_sync(x, step=80, group=2)
+    assert pres.shape == (2,) and bits.shape == (2, CFG.n_bits)
+    offs = np.asarray(off)
+    period = int(np.prod(CFG.strides))
+    grid = set(range(0, period, 80)) | set(range(1, period, 80))
+    assert set(offs.tolist()) <= grid
+    pres2, bits2, off2 = wm.detect_sync(x, step=80, group=2)
+    np.testing.assert_array_equal(offs, np.asarray(off2))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits2))

@@ -42,13 +42,22 @@ def test_green_mask_keyed():
 
 
 def test_unmarked_score_valid_and_deterministic(codec, wav):
-    """Ratio in [0,1] and reproducible.  The ~0.5 unmarked baseline is a
+    """green_ratio in [0,1]; the z-score (detect statistic, round-5
+    permutation-null calibration) is near 0 on unmarked audio by
+    construction and reproducible.  The ~0.5 unmarked ratio baseline is a
     property of a TRAINED codec with live codebooks (integration-checked in
     the TPU benchmark); a random tiny codec collapses to few codes."""
     wm = TokenGreenWM(codec, steps=5)
-    r = np.asarray(wm.score(wav))
+    r = np.asarray(wm.green_ratio(wav))
     assert ((r >= 0) & (r <= 1)).all()
-    np.testing.assert_array_equal(r, np.asarray(wm.score(wav)))
+    z4 = np.asarray(wm.score(wav))
+    # z is calibrated against the clip's own wrong-key null -> |z| < 3 on
+    # unmarked audio with overwhelming probability (score = z/4)
+    assert (np.abs(z4) < 0.75).all(), z4
+    np.testing.assert_array_equal(z4, np.asarray(wm.score(wav)))
+    # the sd floor prevents unbounded z even for degenerate code streams
+    const = jnp.zeros_like(wav)
+    assert np.isfinite(np.asarray(wm.score(const))).all()
 
 
 def _green_margin(codec, wav):
