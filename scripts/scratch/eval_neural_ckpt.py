@@ -25,13 +25,15 @@ clips = [np.asarray(wav[i]) for i in range(wav.shape[0])]
 suite = build_suite(16_000, codec)
 suite.pop("identity", None)
 
-for ckpt in sys.argv[1:]:
+sync = "--sync" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--sync"]
+for ckpt in args:
     wm = init_neural_wm(jax.random.PRNGKey(0))
     blob = load_params(ckpt, {"gen": wm.gen_params, "det": wm.det_params})
     wm = dataclasses.replace(wm, gen_params=blob["gen"], det_params=blob["det"])
-    df = run_robustness(wm, suite, clips, 16_000, chunk_seconds=2.0)
+    df = run_robustness(wm, suite, clips, 16_000, chunk_seconds=2.0, sync=sync)
     by = df.groupby("attack_type")[["bitwise/distorted", "hard/distorted"]].mean()
-    print(f"\n=== {ckpt} ===")
+    print(f"\n=== {ckpt} sync={sync} ===")
     print(f"bitwise/clean      {df['bitwise/clean'].mean():.4f}")
     print(f"bitwise/distorted  {df['bitwise/distorted'].mean():.4f}")
     print(f"hard/clean         {df['hard/clean'].mean():.4f}")
