@@ -45,6 +45,37 @@ def load_audio_batch(
     return jnp.asarray(np.stack(out).astype(np.float32))
 
 
+def load_audio_clips(
+    audio_glob: str,
+    count: int,
+    sr: int,
+    max_seconds: float,
+    offset: int = 0,
+) -> list[np.ndarray]:
+    """Clips at their NATIVE length (capped at `max_seconds`), resampled,
+    mono — for the robustness runner, whose per-chunk schema must not
+    contain fabricated silence: `load_audio_batch` zero-pads every clip to
+    the cap, and 63/124 LibriSpeech clips are shorter than the 8 s
+    robustness crop, so 139/496 of the 2-s chunks were pure padding
+    (bitwise/clean decayed 0.99 -> 0.80 with chunk index; round-5 finding).
+    raw_bench reads real files at real lengths — so do we."""
+    from ..dsp.resample import resample
+    from ..utils import audio_io
+
+    files = sorted(globlib.glob(audio_glob))[offset : offset + count]
+    if not files:
+        raise SystemExit(f"no audio files match {audio_glob}")
+    cap = int(max_seconds * sr)
+    out = []
+    for f in files:
+        a, fsr = audio_io.read_wav(f)
+        x = jnp.asarray(a.mean(axis=0))
+        if fsr != sr:
+            x = resample(x, fsr, sr)
+        out.append(np.asarray(x, np.float32)[:cap])
+    return out
+
+
 def load_codec(ckpt: str | None, size: str = "full"):
     """Build a CodecState, restoring weights from `ckpt` when given."""
     from ..codec import make_codec

@@ -16,7 +16,7 @@ import numpy as np
 
 
 def main(argv=None) -> None:
-    from .common import DEFAULT_AUDIO_GLOB, WM_CHOICES, build_watermarkers, load_audio_batch, load_codec
+    from .common import DEFAULT_AUDIO_GLOB, WM_CHOICES, build_watermarkers, load_audio_clips, load_codec
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--audio_glob", default=DEFAULT_AUDIO_GLOB)
@@ -39,12 +39,13 @@ def main(argv=None) -> None:
     from ..eval import overall_stats, run_robustness, stats_by_attack, write_results_csv
 
     codec = load_codec(args.codec_ckpt, args.codec_size)
-    wav = load_audio_batch(args.audio_glob, args.filecount, args.sample_rate, args.seconds)
+    # native-length clips (capped at --seconds): zero-padding clips to a
+    # fixed crop fabricates silence chunks the schema would count as decode
+    # failures (see load_audio_clips docstring)
+    clips = load_audio_clips(args.audio_glob, args.filecount, args.sample_rate, args.seconds)
     wm = build_watermarkers([args.watermark], codec, sample_rate=None if args.sample_rate == 16_000 else args.sample_rate)[args.watermark]
     suite = build_suite(args.sample_rate, codec)
     suite.pop("identity", None)
-
-    clips = [np.asarray(wav[i]) for i in range(wav.shape[0])]
     out = Path(args.out_dir)
     shard_dir = out / "shards"
     shard_dir.mkdir(parents=True, exist_ok=True)

@@ -57,7 +57,7 @@ for m in spread_spectrum chunked psychoacoustic neural; do
   sub=robustness_$m; [ "$m" = spread_spectrum ] && sub=robustness
   extra=""; [ "$m" = neural ] && extra="--sync"
   stage robustness-$m python -m nawc_tpu.cli.robustness --watermark $m \
-    --filecount 124 --seconds 8.0 --codec_ckpt checkpoints/codec_24k.msgpack \
+    --filecount 124 --seconds 12.0 --codec_ckpt checkpoints/codec_24k.msgpack \
     --out_dir results/showcase/$sub --resume $extra
   stage stats-$m python -m nawc_tpu.cli.stats \
     --results results/showcase/$sub/test_results.csv \
@@ -78,8 +78,13 @@ stage pgd $SHOW pgd
 # 4. datasets
 stage datasets $SHOW benchmark_datasets
 
-# 5. quality refreshes (exact STOI; retrained neural; token_green at n>=24)
+# 5. quality refreshes with the EXACT host STOI (r5 sweep: the on-device
+# 1/3-octave approximation under-read semantic STOI 0.90 where pystoi-exact
+# reads 0.997 — the r4 "STOI deficit" was the metric, not the audio)
 stage quality-neural $SHOW quality:neural
+stage quality-sem-pca $SHOW quality:semantic_pca
+stage quality-sem-cluster $SHOW quality:semantic_cluster
+stage quality-sem-random $SHOW quality:semantic_random
 stage quality-token $SHOW quality:token_green
 stage quality-summary $SHOW quality:summary
 stage eval-codec $SHOW eval_codec
