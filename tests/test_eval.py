@@ -139,3 +139,20 @@ def test_error_only_methods_flagged():
     ])
     assert _error_only_methods(df, ["ok", "broken"]) == ["broken"]
     assert _error_only_methods(df.drop(columns=["error"]), ["ok"]) == []
+
+
+def test_load_audio_clips_native_length():
+    """Round-5 fix: the robustness runner must not fabricate silence chunks
+    by zero-padding short clips to the crop length (139/496 chunks of the
+    r4-era sweep were pure padding)."""
+    from nawc_tpu.cli.common import load_audio_clips
+
+    clips = load_audio_clips(
+        "/root/reference/dataset/LibriSpeech/*.wav", 6, 16_000, 8.0)
+    assert len(clips) == 6
+    lens = [len(c) for c in clips]
+    assert all(l <= 8 * 16_000 for l in lens)
+    assert len(set(lens)) > 1  # native lengths, not one padded crop
+    # no trailing fabricated silence on a short clip
+    short = min(clips, key=len)
+    assert np.abs(short[-1600:]).max() > 0
