@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     ap.add_argument("--out_dir", default="results/robustness")
     ap.add_argument("--sync", action="store_true",
                     help="use shift-robust sync detection when the watermark supports it")
+    ap.add_argument("--detect_batch", type=int, default=None,
+                    help="host-side detection sub-batch (chunks); bounds peak "
+                         "HBM for conv-detector methods — pick a divisor of "
+                         "the chunk count to avoid an extra compile shape")
     ap.add_argument("--resume", action="store_true",
                     help="skip attacks whose per-attack shard CSV already exists "
                          "(restartable sweeps, SURVEY.md §5)")
@@ -59,7 +63,7 @@ def main(argv=None) -> None:
         if args.resume and shard.exists():
             frames.append(pd.read_csv(shard))
             continue
-        part = run_robustness(wm, {aname: afn}, clips, args.sample_rate, args.chunk_seconds, sync=args.sync)
+        part = run_robustness(wm, {aname: afn}, clips, args.sample_rate, args.chunk_seconds, sync=args.sync, detect_batch=args.detect_batch)
         part.to_csv(shard, index=False)
         frames.append(part)
     df = pd.concat(frames, ignore_index=True)

@@ -44,6 +44,7 @@ def run_robustness(
     hard_threshold: float = 0.5,
     seed: int = 0,
     sync: bool = False,
+    detect_batch: int | None = None,
 ):
     """-> pandas DataFrame with the raw_bench per-chunk schema.
 
@@ -69,14 +70,27 @@ def run_robustness(
     marked = wm.embed(batch, msg, key) if has_bits else wm.embed(batch)
     sisnr_wm = np.asarray(si_snr(batch, marked))
 
+    def detect_all(wav):
+        """Detect in host-side sub-batches: the neural detect_sync stage-2
+        double pass on a ~400-chunk batch exceeds HBM (conv activations are
+        ~(B*nc, 16000, 32) f32 per layer); slicing the batch keeps peak
+        memory flat at identical results."""
+        db = detect_batch or wav.shape[0]
+        ps, bs = [], []
+        for i in range(0, wav.shape[0], db):
+            w = wav[i : i + db]
+            if sync and hasattr(wm, "detect_sync"):
+                presence, bits, _ = wm.detect_sync(w)
+            else:
+                presence, bits = wm.detect(w)
+            ps.append(np.asarray(presence))
+            bs.append(np.asarray(bits))
+        return np.concatenate(ps), np.concatenate(bs)
+
     def stats(wav):
-        if sync and hasattr(wm, "detect_sync"):
-            presence, bits, _ = wm.detect_sync(wav)
-        else:
-            presence, bits = wm.detect(wav)
-        presence = np.asarray(presence)
+        presence, bits = detect_all(wav)
         if has_bits:
-            bitacc = np.asarray(jnp.mean((bits == msg).astype(jnp.float32), axis=-1))
+            bitacc = np.asarray((bits == np.asarray(msg)).astype(np.float32).mean(axis=-1))
         else:
             score = np.asarray(wm.score(wav))
             bitacc = score  # semantic methods report raw score in this slot

@@ -55,7 +55,7 @@ SHOW="python scripts/make_showcase.py --scale full --only"
 # method; neural runs shift-robust detection (detect_sync)
 for m in spread_spectrum chunked psychoacoustic neural; do
   sub=robustness_$m; [ "$m" = spread_spectrum ] && sub=robustness
-  extra=""; [ "$m" = neural ] && extra="--sync"
+  extra=""; [ "$m" = neural ] && extra="--sync --detect_batch 134"
   stage robustness-$m python -m nawc_tpu.cli.robustness --watermark $m \
     --filecount 124 --seconds 12.0 --codec_ckpt checkpoints/codec_24k.msgpack \
     --out_dir results/showcase/$sub --resume $extra
