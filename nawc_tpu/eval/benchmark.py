@@ -49,7 +49,16 @@ def _threshold_for(name: str, thresholds: dict[str, float] | None) -> float:
     return table.get(name, FALLBACK_THRESHOLD)
 
 
-def _embed(wm, wav, key):
+def _release_device_memory():
+    """Drop dead device buffers + cached semantic/token embed executables
+    between methods: a 4-semantic-method combined run at 24 x 5 s OOMed the
+    axon worker at the START of the second pass (even a PRNGKey allocation
+    failed), i.e. HBM high-water accumulates across per-method embed loops
+    (r5).  Host-side gc promptly frees jax buffers whose refs died; clearing
+    jit caches also drops their pinned constants."""
+    import gc
+
+    gc.collect()
     if getattr(wm, "n_bits", 0) > 0:
         from ..models.base import random_message
 
@@ -87,8 +96,10 @@ def run_detector_checker(
                     "threshold": th,
                     "detector_works": bool(after[i] > th),
                 })
+            del marked
         except Exception as e:  # per-method error isolation (:834-836)
             rows.append({"watermark": name, "clip_index": -1, "error": repr(e)})
+        _release_device_memory()
     return pd.DataFrame(rows)
 
 
@@ -129,6 +140,7 @@ def run_survivability(
                     })
             except Exception as e:
                 rows.append({"watermark": wname, "attack": aname, "clip_index": -1, "error": repr(e)})
+        _release_device_memory()
     return pd.DataFrame(rows)
 
 
