@@ -59,6 +59,9 @@ def _release_device_memory():
     import gc
 
     gc.collect()
+
+
+def _embed(wm, wav, key):
     if getattr(wm, "n_bits", 0) > 0:
         from ..models.base import random_message
 
