@@ -253,5 +253,29 @@ def whiten_correlate(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return _whiten_correlate_pallas(r, p, tuple(null_offsets))
+        return _whiten_correlate_hybrid(r, p, tuple(null_offsets))
     return _whiten_correlate_xla(r, p, tuple(null_offsets))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _whiten_correlate_hybrid(r, p, null_offsets):
+    """Pallas forward + XLA backward.  ``jax.grad`` through ``pallas_call``
+    asserts in Mosaic lowering (hit by the PGD white-box modes, which
+    differentiate the spread-spectrum score, r5); the cancellation-based
+    XLA path is mathematically identical (tested bit-exact on TPU), so its
+    vjp IS the kernel's vjp."""
+    return _whiten_correlate_pallas(r, p, null_offsets)
+
+
+def _hybrid_fwd(r, p, null_offsets):
+    return _whiten_correlate_pallas(r, p, null_offsets), (r, p)
+
+
+def _hybrid_bwd(null_offsets, res, g):
+    r, p = res
+    _, vjp = jax.vjp(
+        lambda r_, p_: _whiten_correlate_xla(r_, p_, null_offsets), r, p)
+    return vjp(g)
+
+
+_whiten_correlate_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
